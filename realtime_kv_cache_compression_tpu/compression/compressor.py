@@ -1,0 +1,193 @@
+"""Unified real-time prefill KV compression pipeline — pure JAX, jit-safe.
+
+Capability parity with the reference `RealTimePrefillCompressor`
+(/root/reference/src/compression/unified_compressor.py:12-247): the same
+score → assign-precision → quantize → select/propagate pipeline with per-layer
+and overall statistics, redesigned as pure functions over statically shaped
+pytrees. Differences by design:
+
+* Input is the [B, S] prompt attention mass (flash side-channel), not a
+  materialized [B, H, S, S] attention matrix (unified_compressor.py:99).
+* Quantization produces physically bit-packed tier pools (see kv_cache.py),
+  not fake-quantized fp16 (dynamic_quantization.py:120-126).
+* All stats are device scalars collected into a dict; aggregation to Python
+  floats happens once, outside jit (`summarize_layer_stats`) — the reference
+  synced per token (dynamic_quantization.py:158, token_importance.py:198).
+* State (per-layer stats / score tracking) is carried functionally, not on a
+  mutable object; "reset per sequence" (unified_compressor.py:232-235) is
+  simply not reusing the previous sequence's outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HIGH, LOW, MID, CompressionConfig, ModelConfig
+from ..ops.importance import importance_scores
+from ..ops.quantization import (assign_precision, dequantize_tier,
+                                memory_report, quantize_tier)
+from ..ops.selection import Selection, select_tokens
+from .kv_cache import CompressedLayerCache, TierCache
+
+Array = jax.Array
+
+
+def identify_prompt_length(seq_len: int, cfg: CompressionConfig) -> int:
+    """Static prompt prefix length (unified_compressor.py:35-58)."""
+    return cfg.prompt_length(seq_len)
+
+
+def _gather_tokens(x: Array, idx: Array) -> Array:
+    """Gather [B, S, H, D] tokens at idx [B, N] → [B, N, H, D]."""
+    return jnp.take_along_axis(x, idx[:, :, None, None], axis=1)
+
+
+def compress_layer_kv(
+    k: Array,
+    v: Array,
+    prompt_mass: Array,
+    layer_idx: int,
+    cfg: CompressionConfig,
+    model_cfg: ModelConfig,
+) -> Tuple[CompressedLayerCache, Dict[str, Array]]:
+    """Compress one layer's prefill K/V into packed tier pools.
+
+    Pipeline mirror of unified_compressor.py:95-172.
+
+    Args:
+      k, v: [B, S, H_kv, D] RoPE'd keys / values for the full prefill.
+      prompt_mass: [B, S] prompt attention mass side-channel.
+      layer_idx: static layer index.
+      cfg, model_cfg: static configs.
+
+    Returns:
+      (cache, stats) — `cache` is the layer's `CompressedLayerCache`; `stats`
+      a flat dict of device arrays (per-layer compression metrics).
+    """
+    batch, seq_len, num_kv_heads, head_dim = k.shape
+    prompt_len = identify_prompt_length(seq_len, cfg)
+    group_size = cfg.quant_group_size or head_dim
+    store_dtype = jnp.dtype(model_cfg.dtype)
+
+    # Step 2: importance scores (Step 1, prompt identification, is static).
+    scores = importance_scores(prompt_mass, layer_idx, seq_len, prompt_len, cfg)
+
+    # Step 3: precision labels + stats.
+    labels, prec_stats = assign_precision(scores, cfg)
+
+    # Step 5 (ordered before 4 here — selection decides what to quantize, so
+    # we never quantize dropped tokens; the reference quantized everything
+    # then threw 40-60% of it away).
+    sel: Selection = select_tokens(scores, labels, layer_idx, cfg)
+
+    # Step 4: quantize + physically pack each tier pool.
+    tiers = []
+    for slot, tier in enumerate((HIGH, MID, LOW)):
+        idx, valid = sel.indices[slot], sel.valid[slot]
+        bits = cfg.tier_bits(tier)
+        k_t = _gather_tokens(k, idx)
+        v_t = _gather_tokens(v, idx)
+        k_stored, k_scale, k_zp = quantize_tier(k_t, bits, group_size, store_dtype)
+        v_stored, v_scale, v_zp = quantize_tier(v_t, bits, group_size, store_dtype)
+        tiers.append(TierCache(
+            k_stored=k_stored, v_stored=v_stored,
+            k_scale=k_scale, k_zp=k_zp, v_scale=v_scale, v_zp=v_zp,
+            positions=idx.astype(jnp.int32), valid=valid,
+        ))
+    cache = CompressedLayerCache(tiers=tuple(tiers))
+
+    # Effective stored labels for memory accounting: tier of each kept slot.
+    kept_labels = jnp.concatenate([
+        jnp.full(sel.indices[0].shape, HIGH),
+        jnp.full(sel.indices[1].shape, MID),
+        jnp.full(sel.indices[2].shape, LOW),
+    ], axis=-1)
+    kept_valid = jnp.concatenate(sel.valid, axis=-1)
+    mem = memory_report(kept_labels, kept_valid, cfg,
+                        head_dim * num_kv_heads)
+
+    kept = sel.kept_mask.sum(axis=-1)
+    stats = {
+        "seq_len": jnp.full((batch,), seq_len),
+        "kept_tokens": kept,
+        "compression_ratio": kept / seq_len,          # element-kept ratio
+        "token_memory_savings": 1.0 - kept / seq_len,
+        "importance_mean": scores.mean(axis=-1),
+        "importance_std": scores.std(axis=-1),
+        "importance_min": scores.min(axis=-1),
+        "importance_max": scores.max(axis=-1),
+        # threshold-label distribution (reference precision_stats)
+        "label_high_ratio": prec_stats["high_ratio"],
+        "label_medium_ratio": prec_stats["medium_ratio"],
+        "label_low_ratio": prec_stats["low_ratio"],
+        # stored-tier distribution + real byte accounting
+        "stored_high": sel.stats["high_count"],
+        "stored_medium": sel.stats["medium_count"],
+        "stored_low": sel.stats["low_count"],
+        "byte_compression_ratio": mem["compression_ratio"],
+        "byte_memory_savings": mem["memory_savings"],
+        "budget_utilization": sel.stats["budget_utilization"],
+        "avg_selected_importance": sel.stats["avg_importance"],
+    }
+    return cache, stats
+
+
+def dequantize_layer_cache(
+    cache: CompressedLayerCache,
+    cfg: CompressionConfig,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array, Array, Array]:
+    """Materialize a layer cache back to dense K/V for attention.
+
+    Returns (k, v, positions, valid): k/v [B, N_total, H, D], positions/valid
+    [B, N_total], tiers concatenated HIGH|MID|LOW. The fused Pallas decode
+    kernel replaces this for the hot path; this is the reference/XLA-fusion
+    path (XLA still fuses unpack+dequant into the attention matmul's producer).
+    """
+    ks, vs, ps, valids = [], [], [], []
+    for tier, t in zip((HIGH, MID, LOW), cache.tiers):
+        if t.capacity == 0:
+            continue
+        bits = cfg.tier_bits(tier)
+        ks.append(dequantize_tier(t.k_stored, t.k_scale, t.k_zp, bits, dtype))
+        vs.append(dequantize_tier(t.v_stored, t.v_scale, t.v_zp, bits, dtype))
+        ps.append(t.positions)
+        valids.append(t.valid)
+    return (jnp.concatenate(ks, axis=1), jnp.concatenate(vs, axis=1),
+            jnp.concatenate(ps, axis=1), jnp.concatenate(valids, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Host-side aggregation (post-jit; mirrors unified_compressor.py:174-230)
+# ---------------------------------------------------------------------------
+
+def summarize_layer_stats(layer_stats: List[Dict[str, Array]]) -> Dict[str, float]:
+    """Aggregate per-layer device stats into Python floats, once per sequence."""
+    if not layer_stats:
+        return {}
+    host = [{k: jax.device_get(v) for k, v in s.items()} for s in layer_stats]
+    n = len(host)
+    avg = lambda key: float(sum(s[key].mean() for s in host) / n)
+    total_high = sum(float(s["stored_high"].sum()) for s in host)
+    total_med = sum(float(s["stored_medium"].sum()) for s in host)
+    total_low = sum(float(s["stored_low"].sum()) for s in host)
+    total_tokens = max(total_high + total_med + total_low, 1.0)
+    initial_seq = float(host[0]["seq_len"].mean())
+    final_kept = float(host[-1]["kept_tokens"].mean())
+    return {
+        "total_layers_processed": n,
+        "avg_compression_ratio": avg("compression_ratio"),
+        "avg_memory_savings": avg("byte_memory_savings"),
+        "avg_token_savings": avg("token_memory_savings"),
+        "cumulative_compression": final_kept / max(initial_seq, 1.0),
+        "overall_memory_savings": 1.0 - final_kept / max(initial_seq, 1.0),
+        "avg_budget_utilization": avg("budget_utilization"),
+        "precision_distribution": {
+            "high_ratio": total_high / total_tokens,
+            "medium_ratio": total_med / total_tokens,
+            "low_ratio": total_low / total_tokens,
+        },
+    }

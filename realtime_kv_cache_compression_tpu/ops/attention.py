@@ -1,0 +1,111 @@
+"""Attention ops (pure-JAX / XLA path) with the prompt-mass side-channel.
+
+This module is the XLA-fused baseline implementation; the Pallas kernels in
+`ops/pallas/` implement the same contracts blockwise (flash) for the hot path.
+Tests cross-check Pallas against these.
+
+Replaces the reference's materialized-attention pipeline
+(/root/reference/src/models/modified_llama.py:88-94 computes softmax(QK^T/√d)
+as a full [B, H, S, S] tensor; token_importance.py:41-45 then slices prompt
+columns). Here the dense path exists for correctness and small shapes only,
+and additionally supports GQA (the reference is MHA-only) and exact
+position-aware masking over non-contiguous compressed tokens (fixing the
+reference's truncated-causal-mask approximation, modified_llama.py:132-134).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+def repeat_kv(x: Array, n_rep: int) -> Array:
+    """[B, S, H_kv, D] → [B, S, H_kv * n_rep, D] (GQA head expansion)."""
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
+        b, s, h * n_rep, d)
+
+
+def prefill_attention_with_prompt_mass(
+    q: Array,
+    k: Array,
+    v: Array,
+    prompt_len: int,
+    causal: bool = True,
+) -> Tuple[Array, Array]:
+    """Dense causal attention + prompt attention-mass side-channel.
+
+    Args:
+      q: [B, S, H_q, D]; k, v: [B, S, H_kv, D] (H_q % H_kv == 0).
+      prompt_len: static prompt prefix length P.
+
+    Returns:
+      out: [B, S, H_q, D] attention output.
+      prompt_mass: [B, S] = mean_h sum_{j<P} softmax(qk)[b,h,i,j]
+        (token_importance.py:41-45 semantics, GQA-aware).
+    """
+    b, s, hq, d = q.shape
+    n_rep = hq // k.shape[2]
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if causal:
+        q_pos = jnp.arange(s)[:, None]
+        k_pos = jnp.arange(s)[None, :]
+        logits = jnp.where((k_pos <= q_pos)[None, None], logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)
+    prompt_mass = attn[:, :, :, :prompt_len].mean(axis=1).sum(axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    return out.astype(q.dtype), prompt_mass
+
+
+def attention_over_tokens(
+    q: Array,
+    k: Array,
+    v: Array,
+    k_positions: Array,
+    k_valid: Array,
+    q_positions: Array,
+    sink: bool = False,
+) -> Array:
+    """Attention of queries over an arbitrary (gathered/compressed) token set.
+
+    Masking is exact: key j participates for query i iff it is a live slot and
+    k_positions[j] <= q_positions[i] — true causality over non-contiguous
+    survivors, unlike the reference's truncated mask.
+
+    Args:
+      q: [B, Sq, H_q, D] queries (already RoPE'd at q_positions).
+      k, v: [B, N, H_kv, D] token set (already RoPE'd at k_positions).
+      k_positions: [B, N] int32; k_valid: [B, N] bool.
+      q_positions: [B, Sq] int32.
+
+    Returns:
+      [B, Sq, H_q, D] attention output.
+    """
+    b, sq, hq, d = q.shape
+    n_rep = hq // k.shape[2]
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    mask = k_valid[:, None, :] & (k_positions[:, None, :]
+                                  <= q_positions[:, :, None])  # [B, Sq, N]
+    logits = jnp.where(mask[:, None], logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)
+    # Guard fully-masked rows (no valid keys): output zeros, not NaNs.
+    any_valid = mask.any(axis=-1)[:, None, :, None]
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    out = jnp.where(jnp.swapaxes(any_valid, 1, 2), out, 0.0)
+    return out.astype(q.dtype)

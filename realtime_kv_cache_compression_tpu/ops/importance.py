@@ -1,0 +1,124 @@
+"""Prompt-guided token importance scoring — pure, vectorized JAX.
+
+Capability parity with the reference `PromptGuidedImportanceScorer`
+(/root/reference/src/compression/token_importance.py:7-176) and
+`LayerWiseImportanceTracker` (:178-213), redesigned for TPU:
+
+* The reference consumes the materialized [B, H, S, S] attention matrix and
+  slices prompt columns (token_importance.py:41-45). Here the scorer consumes
+  only the *prompt attention mass* `A_P,i = mean_h sum_{j<P} attn[b,h,i,j]`
+  — a [B, S] vector that the Pallas flash-attention kernel produces as a
+  side-channel without ever materializing S×S scores. A helper to derive the
+  mass from a dense attention matrix is kept for tests/parity.
+* No host transfers, no Python loops: everything jit-compiles to VPU ops.
+
+Score formula (token_importance.py:11):
+    s_i^(l) = alpha * Â_P,i^(l) * w_l + beta * b_pos(i) + gamma * r(i)
+with min–max normalization of A_P,i per batch row (:70-83), position bias
+b_pos(i) = log(i+1)/log(T) (:93-110, zero for T<=1), and context relevance
+r(i) = min(1, N_p/N) (:119-132).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CompressionConfig
+
+Array = jax.Array
+
+
+def prompt_attention_mass(attn_weights: Array, prompt_len: int) -> Array:
+    """A_P,i from a dense attention matrix — test/parity path only.
+
+    Mirrors token_importance.py:21-47: slice the first `prompt_len` key
+    columns, mean over heads, sum over prompt keys.
+
+    Args:
+      attn_weights: [B, H, S, S] softmaxed attention.
+      prompt_len: static prompt prefix length P.
+
+    Returns:
+      [B, S] attention mass each query token places on the prompt.
+    """
+    prompt_cols = attn_weights[:, :, :, :prompt_len]
+    return prompt_cols.mean(axis=1).sum(axis=-1)
+
+
+def minmax_normalize(x: Array, eps: float = 1e-8) -> Array:
+    """Per-row min–max normalization to [0, 1] with a safe zero fallback.
+
+    Mirrors token_importance.py:70-83 (including the `denominator > eps`
+    guard that maps constant rows to all-zeros).
+    """
+    row_min = x.min(axis=-1, keepdims=True)
+    row_max = x.max(axis=-1, keepdims=True)
+    denom = row_max - row_min
+    return jnp.where(denom > eps, (x - row_min) / jnp.where(denom > eps, denom, 1.0),
+                     jnp.zeros_like(x))
+
+
+def position_bias(seq_len: int, dtype=jnp.float32) -> Array:
+    """b_pos(i) = log(i+1)/log(T), 1-based positions; zeros if T <= 1.
+
+    Mirrors token_importance.py:93-110. `seq_len` is static, so the branch is
+    resolved at trace time.
+    """
+    if seq_len <= 1:
+        return jnp.zeros((seq_len,), dtype=dtype)
+    positions = jnp.arange(1, seq_len + 1, dtype=dtype)
+    return jnp.log(positions) / jnp.log(jnp.asarray(seq_len, dtype=dtype))
+
+
+def context_relevance(seq_len: int, prompt_len: int) -> float:
+    """r(i) = min(1, N_p / N) — a scalar broadcast over positions
+    (token_importance.py:119-132)."""
+    return min(1.0, prompt_len / seq_len)
+
+
+def importance_scores(
+    prompt_mass: Array,
+    layer_idx: int,
+    seq_len: int,
+    prompt_len: int,
+    cfg: CompressionConfig,
+) -> Array:
+    """Three-term importance score for every token of a layer.
+
+    Args:
+      prompt_mass: [B, S] raw prompt attention mass A_P,i.
+      layer_idx: static layer index (selects w_l).
+      seq_len: static sequence length T.
+      prompt_len: static prompt prefix length N_p.
+      cfg: compression hyperparameters.
+
+    Returns:
+      [B, S] float32 importance scores.
+    """
+    mass = prompt_mass.astype(jnp.float32)
+    normalized = minmax_normalize(mass)
+    w_l = cfg.layer_weights[layer_idx]
+    term1 = cfg.alpha * normalized * w_l
+    term2 = cfg.beta * position_bias(seq_len)[None, :]
+    term3 = cfg.gamma * context_relevance(seq_len, prompt_len)
+    return term1 + term2 + term3
+
+
+def cumulative_scores(per_layer_scores: Array) -> Array:
+    """Running mean of scores over layers 0..l for every l.
+
+    TPU-native replacement for `LayerWiseImportanceTracker.get_cumulative_scores`
+    (token_importance.py:202-213) — no CPU staging dict, and fixes the
+    reference's divisor bug (it divided by layer_idx+1 even when layers were
+    missing): here the divisor is always the true number of layers present.
+
+    Args:
+      per_layer_scores: [L, B, S] stacked scores.
+
+    Returns:
+      [L, B, S] where out[l] = mean(scores[0..l]).
+    """
+    csum = jnp.cumsum(per_layer_scores, axis=0)
+    denom = jnp.arange(1, per_layer_scores.shape[0] + 1, dtype=csum.dtype)
+    return csum / denom[:, None, None]

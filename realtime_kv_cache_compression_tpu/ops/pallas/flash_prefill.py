@@ -1,0 +1,204 @@
+"""Pallas (Mosaic TPU) causal flash attention with LSE residual, plus the
+exact prompt-mass side-channel.
+
+This replaces the reference's prefill attention, which materializes the full
+[B, H, S, S] score matrix (modified_llama.py:88-94) so the importance scorer
+can slice prompt columns (token_importance.py:41-45). Here:
+
+1. `_flash_kernel` computes O = softmax(QK^T/√d)V blockwise with the online
+   softmax (never materializing S×S), and additionally emits the per-row
+   log-sum-exp  lse_i = m_i + log(l_i).
+2. The prompt attention mass  A_P,i = mean_h Σ_{j<P} softmax(s)_ij  is then
+   recovered *exactly* outside the kernel from one small matmul over the
+   first P ≤ 128 prompt columns:  Σ_j exp(q_i·k_j·scale − lse_i). This costs
+   O(S·P·D) — ~P/S of one attention pass — and XLA fuses it; numerics match
+   the in-kernel softmax bit-for-bit up to fp32 rounding.
+
+GQA is native: kv heads are indexed as h // (H_q / H_kv) in the BlockSpecs —
+no materialized head repetition.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NUM_LANES = 128
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  m_scr, l_scr, acc_scr,
+                  *, sm_scale: float, block_q: int, block_k: int,
+                  kv_blocks: int):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Causal block skip: run only if the block's first column can be visible
+    # to the block's last row.
+    @pl.when(kv_idx * block_k <= (q_idx + 1) * block_q - 1)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)              # [bq, d]
+        k = k_ref[0, 0].astype(jnp.float32)              # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+            + q_idx * block_q
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+            + kv_idx * block_k
+        s = jnp.where(col_ids <= row_ids, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]                               # [bq, LANES]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)        # [bq, 1]
+        m_next = jnp.maximum(m_prev[:, :1], m_curr)       # [bq, 1]
+        alpha = jnp.exp(m_prev[:, :1] - m_next)           # [bq, 1]
+        p = jnp.exp(s - m_next)                           # [bq, bk]
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        v = v_ref[0, 0].astype(jnp.float32)               # [bk, d]
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32)
+
+    # Last kv block this q block needs (causal): write normalized output.
+    last_kv = jnp.minimum(((q_idx + 1) * block_q - 1) // block_k,
+                          kv_blocks - 1)
+
+    @pl.when(kv_idx == last_kv)
+    def _finalize():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-30))
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+
+def _flash_attention_bhsd(
+    q: Array, k: Array, v: Array, *, sm_scale: float,
+    block_q: int, block_k: int, interpret: bool,
+) -> Tuple[Array, Array]:
+    """Causal flash attention on [B, H, S, D] tensors (S divisible by blocks).
+
+    Returns (o [B,Hq,S,D], lse [B,Hq,S]).
+    """
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    n_rep = hq // hkv
+    nq, nkv = s // block_q, s // block_k
+
+    grid = (b, hq, nq, nkv)
+    kernel = functools.partial(
+        _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        kv_blocks=nkv)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b, h, qi, ki: (b, h // n_rep, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b, h, qi, ki: (b, h // n_rep, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, s, NUM_LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse[..., 0]
+
+
+def flash_prefill_with_prompt_mass(
+    q: Array,
+    k: Array,
+    v: Array,
+    prompt_len: int,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Causal flash attention + prompt attention-mass side-channel.
+
+    Drop-in replacement for
+    `ops.attention.prefill_attention_with_prompt_mass` (same contract):
+
+    Args:
+      q: [B, S, H_q, D]; k, v: [B, S, H_kv, D].
+      prompt_len: static prompt prefix length P (P <= 128 recommended; any P
+        works but the side-channel pass costs O(S·P·D)).
+
+    Returns:
+      out: [B, S, H_q, D]; prompt_mass: [B, S] float32.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    sm_scale = 1.0 / (d ** 0.5)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    pad = (-s) % max(block_q, block_k)
+    if pad:
+        # Zero-pad queries and keys; padded keys sit at positions > every
+        # real query, so the causal mask removes them from real rows.
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    o, lse = _flash_attention_bhsd(qt, kt, vt, sm_scale=sm_scale,
+                                   block_q=block_q, block_k=block_k,
+                                   interpret=interpret)
+    o = o[:, :, :s]
+    lse = lse[:, :, :s]
+
+    # Exact side-channel: Σ_{j<P, j<=i} exp(q_i·k_j·scale − lse_i), head-mean.
+    k_prompt = kt[:, :, :prompt_len].astype(jnp.float32)
+    s_p = jnp.einsum("bhqd,bhpd->bhqp", qt[:, :, :s].astype(jnp.float32),
+                     k_prompt) * sm_scale
+    q_pos = jnp.arange(s)[None, None, :, None]
+    p_pos = jnp.arange(prompt_len)[None, None, None, :]
+    mass = jnp.where(p_pos <= q_pos,
+                     jnp.exp(s_p - lse[..., None]), 0.0).sum(-1)  # [B,Hq,S]
+    return o.transpose(0, 2, 1, 3), mass.mean(axis=1)

@@ -1,0 +1,231 @@
+"""Dynamic-precision KV quantization with REAL bit-packed storage — pure JAX.
+
+Capability parity with the reference `DynamicPrecisionQuantizer`
+(/root/reference/src/compression/dynamic_quantization.py:7-241), redesigned:
+
+* The reference fake-quantizes (quantize → clamp → dequantize back to fp16,
+  dynamic_quantization.py:120-126) inside a per-token Python double loop
+  (:179-194). Here quantization is a single vectorized pass and the codes are
+  *actually stored* sub-byte: 8-bit codes as uint8, 4-bit as two-per-byte,
+  2-bit as four-per-byte. Memory savings are physical, not estimated.
+* Scales/zero-points are per (token, kv-head, channel-group) — strictly finer
+  than the reference's single scale across the whole fused token vector
+  (dynamic_quantization.py:79-80) — per the north-star requirement for
+  group-wise scales.
+* Same asymmetric uniform scheme: qmin=0, qmax=2^b-1,
+  scale=(max-min)/qmax, zp=-min/scale, with the degenerate max==min case
+  mapping to scale=1, zp=0 (dynamic_quantization.py:83-86).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HIGH, LOW, MID, CompressionConfig
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Precision assignment
+# ---------------------------------------------------------------------------
+
+def assign_precision(scores: Array, cfg: CompressionConfig) -> Tuple[Array, Dict[str, Array]]:
+    """Threshold-based precision labels: 2=HIGH, 1=MID, 0=LOW.
+
+    Mirrors dynamic_quantization.py:21-60. Stats are returned as device
+    scalars (no `.item()` host syncs in the hot path).
+    """
+    high = scores >= cfg.theta_h
+    mid = (scores >= cfg.theta_m) & ~high
+    labels = high.astype(jnp.int32) * HIGH + mid.astype(jnp.int32) * MID
+    total = scores.size
+    n_high = high.sum()
+    n_mid = mid.sum()
+    n_low = total - n_high - n_mid
+    stats = {
+        "high_count": n_high, "medium_count": n_mid, "low_count": n_low,
+        "high_ratio": n_high / total, "medium_ratio": n_mid / total,
+        "low_ratio": n_low / total,
+    }
+    return labels, stats
+
+
+def token_costs(labels: Array, cfg: CompressionConfig) -> Array:
+    """Byte-cost per token from its precision label
+    (selective_propagation.py:40-66)."""
+    cost_table = jnp.array(
+        [cfg.tier_cost(LOW), cfg.tier_cost(MID), cfg.tier_cost(HIGH)],
+        dtype=jnp.float32)
+    return cost_table[labels]
+
+
+# ---------------------------------------------------------------------------
+# Quantization params / quantize / dequantize
+# ---------------------------------------------------------------------------
+
+def quant_params(x: Array, bits: int, group_size: int) -> Tuple[Array, Array]:
+    """Asymmetric uniform quant params per channel group.
+
+    Args:
+      x: [..., D] float tensor; D % group_size == 0.
+      bits: target bit width (2/4/8).
+      group_size: channels per scale group.
+
+    Returns:
+      (scale, zero_point), each [..., D // group_size] float32.
+    """
+    qmax = float(2 ** bits - 1)
+    g = x.shape[-1] // group_size
+    xg = x.reshape(*x.shape[:-1], g, group_size).astype(jnp.float32)
+    t_min = xg.min(axis=-1)
+    t_max = xg.max(axis=-1)
+    degenerate = (t_max - t_min) <= 0
+    scale = jnp.where(degenerate, 1.0, (t_max - t_min) / qmax)
+    zero_point = jnp.where(degenerate, 0.0, -t_min / scale)
+    return scale, zero_point
+
+
+def quantize(x: Array, scale: Array, zero_point: Array, bits: int) -> Array:
+    """Quantize to integer codes in [0, 2^bits - 1], stored as uint8.
+
+    Same rounding/clamping as dynamic_quantization.py:116-122 — but the codes
+    are kept, not dequantized away.
+    """
+    qmax = 2 ** bits - 1
+    g = scale.shape[-1]
+    group_size = x.shape[-1] // g
+    xg = x.reshape(*x.shape[:-1], g, group_size).astype(jnp.float32)
+    q = jnp.round(xg / scale[..., None] + zero_point[..., None])
+    q = jnp.clip(q, 0, qmax).astype(jnp.uint8)
+    return q.reshape(*x.shape)
+
+
+def dequantize(codes_f: Array, scale: Array, zero_point: Array,
+               dtype=jnp.float32) -> Array:
+    """Dequantize float-cast codes: (q - zp) * scale.
+
+    `codes_f` may be real codes cast to float OR raw 16-bit-tier floats with
+    scale=1, zp=0 — the formula is uniform across tiers.
+    """
+    g = scale.shape[-1]
+    group_size = codes_f.shape[-1] // g
+    cg = codes_f.reshape(*codes_f.shape[:-1], g, group_size).astype(jnp.float32)
+    out = (cg - zero_point[..., None]) * scale[..., None]
+    return out.reshape(*codes_f.shape).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Physical bit packing (the part the reference only pretended to do)
+# ---------------------------------------------------------------------------
+
+def pack_codes(codes: Array, bits: int) -> Array:
+    """Pack uint8 codes (< 2^bits) sub-byte along the last axis.
+
+    8 bits → identity; 4 bits → 2 codes/byte; 2 bits → 4 codes/byte.
+    Last-axis length must be divisible by 8 // bits.
+    """
+    if bits == 8:
+        return codes
+    per_byte = 8 // bits
+    d = codes.shape[-1]
+    assert d % per_byte == 0, (d, bits)
+    cg = codes.reshape(*codes.shape[:-1], d // per_byte, per_byte)
+    shifts = jnp.arange(per_byte, dtype=jnp.uint8) * bits
+    packed = (cg << shifts).sum(axis=-1).astype(jnp.uint8)
+    return packed
+
+
+def unpack_codes(packed: Array, bits: int) -> Array:
+    """Inverse of `pack_codes`: uint8 packed bytes → uint8 codes."""
+    if bits == 8:
+        return packed
+    per_byte = 8 // bits
+    mask = jnp.uint8(2 ** bits - 1)
+    shifts = jnp.arange(per_byte, dtype=jnp.uint8) * bits
+    codes = (packed[..., None] >> shifts) & mask
+    return codes.reshape(*packed.shape[:-1], packed.shape[-1] * per_byte)
+
+
+def quantize_tier(x: Array, bits: int, group_size: int,
+                  store_dtype=jnp.bfloat16) -> Tuple[Array, Array, Array]:
+    """Quantize + physically pack one precision tier.
+
+    Args:
+      x: [..., D] float tensor (all tokens of one tier).
+      bits: tier bit width; 16 stores raw `store_dtype` with unit scales.
+      group_size: channels per scale group.
+
+    Returns:
+      (stored, scale, zero_point) — `stored` is uint8-packed codes for
+      bits<16 or the raw values for bits==16.
+    """
+    if bits == 16:
+        g = x.shape[-1] // group_size
+        ones = jnp.ones((*x.shape[:-1], g), jnp.float32)
+        zeros = jnp.zeros_like(ones)
+        return x.astype(store_dtype), ones, zeros
+    scale, zp = quant_params(x, bits, group_size)
+    codes = quantize(x, scale, zp, bits)
+    return pack_codes(codes, bits), scale, zp
+
+
+def dequantize_tier(stored: Array, scale: Array, zero_point: Array, bits: int,
+                    dtype=jnp.float32) -> Array:
+    """Unpack + dequantize one tier back to float."""
+    if bits == 16:
+        return stored.astype(dtype)
+    codes = unpack_codes(stored, bits)
+    return dequantize(codes.astype(jnp.float32), scale, zero_point, dtype)
+
+
+def max_roundtrip_error(scale: Array) -> Array:
+    """Upper bound on |x - dequant(quant(x))| = scale / 2 (uniform quant)."""
+    return scale / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Memory accounting — real bytes, not estimates
+# ---------------------------------------------------------------------------
+
+def storage_bytes(shape_tokens: int, head_dim: int, num_kv_heads: int,
+                  bits: int, group_size: int, scale_bytes: int = 4) -> int:
+    """Physical bytes to store K+V codes + scales/zps for `shape_tokens` tokens."""
+    d = head_dim * num_kv_heads
+    if bits == 16:
+        code_bytes = shape_tokens * d * 2
+    else:
+        code_bytes = shape_tokens * d * bits // 8
+    n_groups = d // group_size
+    param_bytes = shape_tokens * n_groups * scale_bytes * 2  # scale + zp
+    return 2 * code_bytes + 2 * param_bytes  # K and V
+
+
+def memory_report(labels: Array, valid: Array, cfg: CompressionConfig,
+                  head_dim: int) -> Dict[str, Array]:
+    """Per-tier element counts and compressed/original byte ratio.
+
+    Semantics of dynamic_quantization.py:198-241 (fp16 reference baseline),
+    computed from actually-stored tokens.
+    """
+    lab = jnp.where(valid, labels, -1)
+    n_high = (lab == HIGH).sum()
+    n_mid = (lab == MID).sum()
+    n_low = (lab == LOW).sum()
+    total_tokens = labels.shape[-1] * labels.shape[0]
+    original_bytes = total_tokens * head_dim * 2.0
+    compressed_bytes = (
+        n_high * head_dim * cfg.tier_bits(HIGH) / 8.0
+        + n_mid * head_dim * cfg.tier_bits(MID) / 8.0
+        + n_low * head_dim * cfg.tier_bits(LOW) / 8.0)
+    ratio = compressed_bytes / original_bytes
+    return {
+        "high_elements": n_high * head_dim,
+        "medium_elements": n_mid * head_dim,
+        "low_elements": n_low * head_dim,
+        "compression_ratio": ratio,
+        "memory_savings": 1.0 - ratio,
+    }

@@ -1,0 +1,119 @@
+"""Importance scoring unit tests.
+
+Covers the reference's test_importance_scoring.py surface (shape/finiteness,
+min-max normalization, position-bias endpoints/monotonicity, constant context
+relevance, layer-weight differentiation, seq_len edge cases, cumulative
+tracker) on synthetic tensors — fixing the reference's stale z-score test
+(test_importance_scoring.py:62-78 asserted z-score stats against a min-max
+implementation).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_kv_cache_compression_tpu import CompressionConfig
+from realtime_kv_cache_compression_tpu.ops import importance as imp
+
+
+@pytest.fixture
+def cfg():
+    return CompressionConfig(num_layers=8)
+
+
+def softmax_attn(rng, b=1, h=8, s=10):
+    logits = rng.normal(size=(b, h, s, s)).astype(np.float32)
+    return jax.nn.softmax(jnp.asarray(logits), axis=-1)
+
+
+def test_prompt_mass_shape_and_range(rng):
+    attn = softmax_attn(rng, b=2, h=4, s=12)
+    mass = imp.prompt_attention_mass(attn, prompt_len=3)
+    assert mass.shape == (2, 12)
+    assert bool(jnp.all(mass >= 0)) and bool(jnp.all(mass <= 3.0 + 1e-5))
+    # Full-width prompt ⇒ mass is the whole row sum = 1 for every query.
+    full = imp.prompt_attention_mass(attn, prompt_len=12)
+    np.testing.assert_allclose(np.asarray(full), 1.0, atol=1e-5)
+
+
+def test_minmax_normalize():
+    x = jnp.array([[1.0, 3.0, 2.0], [5.0, 5.0, 5.0]])
+    out = imp.minmax_normalize(x)
+    np.testing.assert_allclose(np.asarray(out[0]), [0.0, 1.0, 0.5], atol=1e-6)
+    # Constant rows map to zeros (safe-divide guard).
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0)
+
+
+def test_position_bias_endpoints_and_monotone():
+    s = 64
+    pb = np.asarray(imp.position_bias(s))
+    assert pb.shape == (s,)
+    assert abs(pb[0]) < 1e-6            # log(1)/log(T) = 0
+    assert abs(pb[-1] - 1.0) < 1e-6     # log(T)/log(T) = 1
+    assert np.all(np.diff(pb) > 0)
+    assert np.all((pb >= 0) & (pb <= 1))
+    # Degenerate lengths.
+    assert np.asarray(imp.position_bias(1)).shape == (1,)
+    assert float(imp.position_bias(1)[0]) == 0.0
+
+
+def test_context_relevance():
+    assert imp.context_relevance(100, 20) == pytest.approx(0.2)
+    assert imp.context_relevance(10, 20) == 1.0
+
+
+def test_scores_shape_finite_and_layer_weighting(rng, cfg):
+    attn = softmax_attn(rng, b=2, h=4, s=16)
+    mass = imp.prompt_attention_mass(attn, 4)
+    s0 = imp.importance_scores(mass, 0, 16, 4, cfg)
+    s_last = imp.importance_scores(mass, cfg.num_layers - 1, 16, 4, cfg)
+    assert s0.shape == (2, 16)
+    assert bool(jnp.all(jnp.isfinite(s0)))
+    # Later layers down-weight the attention term (w_l: 1.0 → 0.5).
+    t1_0 = np.asarray(s0) - np.asarray(s_last)
+    norm = np.asarray(imp.minmax_normalize(mass))
+    expected = cfg.alpha * norm * (cfg.layer_weights[0]
+                                   - cfg.layer_weights[-1])
+    np.testing.assert_allclose(t1_0, expected, atol=1e-5)
+
+
+def test_scores_three_term_decomposition(rng, cfg):
+    s, p = 32, 6
+    attn = softmax_attn(rng, b=1, h=2, s=s)
+    mass = imp.prompt_attention_mass(attn, p)
+    scores = imp.importance_scores(mass, 2, s, p, cfg)
+    manual = (cfg.alpha * imp.minmax_normalize(mass) * cfg.layer_weights[2]
+              + cfg.beta * imp.position_bias(s)[None]
+              + cfg.gamma * imp.context_relevance(s, p))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(manual),
+                               atol=1e-6)
+
+
+def test_prompt_biased_attention_ranks_prompt_attenders_high(rng, cfg):
+    """Integration check mirroring test_importance_scoring.py:287-336:
+    queries that attend strongly to the prompt should score higher (term 1)."""
+    b, h, s, p = 1, 4, 128, 16
+    logits = rng.normal(size=(b, h, s, s)).astype(np.float32)
+    hot = np.arange(60, 70)  # these queries attend hard at prompt columns
+    logits[:, :, hot[:, None], np.arange(p)[None, :]] += 4.0
+    attn = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    mass = imp.prompt_attention_mass(attn, p)
+    norm = np.asarray(imp.minmax_normalize(mass))[0]
+    assert norm[hot].mean() > np.delete(norm, hot).mean() + 0.2
+
+
+def test_cumulative_scores_running_mean(rng):
+    per_layer = jnp.asarray(rng.normal(size=(4, 2, 8)).astype(np.float32))
+    cum = imp.cumulative_scores(per_layer)
+    np.testing.assert_allclose(np.asarray(cum[0]), np.asarray(per_layer[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cum[3]), np.asarray(per_layer).mean(axis=0), atol=1e-6)
+
+
+def test_jit_compiles(rng, cfg):
+    mass = jnp.asarray(rng.random((2, 64)).astype(np.float32))
+    fn = jax.jit(lambda m: imp.importance_scores(m, 1, 64, 12, cfg))
+    out = fn(mass)
+    assert out.shape == (2, 64)
