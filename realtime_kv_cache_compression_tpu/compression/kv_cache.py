@@ -32,8 +32,9 @@ class TierCache:
 
     Shapes (B = batch, N = static tier capacity, H = kv heads, D = head_dim,
     G = scale groups per head):
-      k_stored / v_stored: [B, N, H, D * bits / 8] uint8 (packed codes) for
-          bits < 16, else [B, N, H, D] bf16 raw.
+      k_stored / v_stored: [B, ceil(N / (8/bits)), H, D] uint8 — codes packed
+          sub-byte along the *token* axis (kernel-friendly: unpack is a
+          sublane repeat + shift) — for bits < 16, else [B, N, H, D] bf16 raw.
       k_scale / k_zp / v_scale / v_zp: [B, N, H, G] float32.
       positions: [B, N] int32 original token positions (for RoPE/causality).
       valid: [B, N] bool slot-occupancy mask.

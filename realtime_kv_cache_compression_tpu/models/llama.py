@@ -205,6 +205,24 @@ def prefill_compressed(
     return logits, state, all_stats
 
 
+def forward_logits(params: Params, input_ids: Array,
+                   cfg: ModelConfig) -> Array:
+    """All-position logits [B, S, V] (no KV cache; training/eval scoring)."""
+    b, s = input_ids.shape
+    h = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
+    positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    for layer in params["layers"]:
+        x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, x, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn_out, _ = prefill_attention_with_prompt_mass(q, k, v, 1)
+        h = h + attn_out.reshape(b, s, cfg.q_dim) @ layer["wo"]
+        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+    return logits_from_hidden(params, h, cfg)
+
+
 def prefill_uncompressed(
     params: Params,
     input_ids: Array,
@@ -291,6 +309,34 @@ def decode_step(
     return logits, state
 
 
+def decode_loop(
+    params: Params,
+    first_token: Array,
+    state: DecodeState,
+    n_steps: int,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+    use_fused: bool = False,
+) -> Tuple[Array, DecodeState]:
+    """n_steps of greedy decode inside one XLA program (lax.scan over steps).
+
+    One dispatch for the whole generation — essential on TPU, where per-call
+    host round-trips would otherwise dominate decode latency.
+    Requires n_steps <= the recent-ring capacity set at prefill.
+    """
+
+    def body(carry, _):
+        tok, st = carry
+        logits, st = decode_step(params, tok, st, cfg, ccfg,
+                                 use_fused=use_fused)
+        nxt = jnp.argmax(logits, axis=-1)
+        return (nxt, st), nxt
+
+    (_, state), toks = jax.lax.scan(body, (first_token, state), None,
+                                    length=n_steps)
+    return toks.T, state  # [B, n_steps]
+
+
 def decode_step_uncompressed(
     params: Params,
     token: Array,
@@ -331,6 +377,29 @@ def decode_step_uncompressed(
     return logits, (jnp.stack(new_ks), jnp.stack(new_vs)), position + 1
 
 
+def decode_loop_uncompressed(
+    params: Params,
+    first_token: Array,
+    kv: Tuple[Array, Array],
+    position: Array,
+    n_steps: int,
+    cfg: ModelConfig,
+) -> Tuple[Array, Tuple[Array, Array], Array]:
+    """Baseline-arm scan decode over the padded dense cache."""
+    max_len = kv[0].shape[2]
+
+    def body(carry, _):
+        tok, kv, pos = carry
+        logits, kv, pos = decode_step_uncompressed(params, tok, kv, pos, cfg,
+                                                   max_len)
+        nxt = jnp.argmax(logits, axis=-1)
+        return (nxt, kv, pos), nxt
+
+    (_, kv, position), toks = jax.lax.scan(
+        body, (first_token, kv, position), None, length=n_steps)
+    return toks.T, kv, position
+
+
 # ---------------------------------------------------------------------------
 # Generation driver (host loop; each step is jitted)
 # ---------------------------------------------------------------------------
@@ -350,16 +419,17 @@ def generate(
     prefill = jax.jit(lambda p, ids: prefill_compressed(
         p, ids, cfg, ccfg, max_decode_len=max_new_tokens,
         use_flash=use_flash))
-    step = jax.jit(lambda p, t, s: decode_step(p, t, s, cfg, ccfg,
-                                               use_fused=use_fused_decode))
+    loop = jax.jit(lambda p, t, s: decode_loop(
+        p, t, s, max_new_tokens - 1, cfg, ccfg, use_fused=use_fused_decode))
     logits, state, stats = prefill(params, input_ids)
-    tokens = []
     tok = jnp.argmax(logits, axis=-1)
-    tokens.append(tok)
-    for _ in range(max_new_tokens - 1):
-        logits, state = step(params, tok, state)
-        tok = jnp.argmax(logits, axis=-1)
-        tokens.append(tok)
-        if eos_token_id is not None and bool((tok == eos_token_id).all()):
-            break
-    return jnp.stack(tokens, axis=1), stats
+    if max_new_tokens > 1:
+        rest, _ = loop(params, tok, state)
+        out = jnp.concatenate([tok[:, None], rest], axis=1)
+    else:
+        out = tok[:, None]
+    if eos_token_id is not None:
+        # Mask everything after the first EOS per row (scan can't early-stop).
+        hit = jnp.cumsum((out == eos_token_id).astype(jnp.int32), axis=1)
+        out = jnp.where(hit - (out == eos_token_id) > 0, eos_token_id, out)
+    return out, stats

@@ -1,0 +1,42 @@
+"""Minimal LM training step (next-token cross-entropy + AdamW).
+
+The reference does no training (SURVEY.md §5, "Checkpoint/resume: no
+training, so none"); this exists so the framework's sharded forward path is
+exercised under grad — fine-tuning support and the multi-chip dryrun's
+"full training step over the mesh" both ride on it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig
+from .llama import forward_logits
+
+Params = Dict[str, Any]
+
+
+def lm_loss(params: Params, input_ids: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Mean next-token cross-entropy over the sequence."""
+    logits = forward_logits(params, input_ids, cfg).astype(jnp.float32)
+    targets = input_ids[:, 1:]
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def train_step(params: Params, opt_state, input_ids: jax.Array,
+               cfg: ModelConfig, optimizer) -> Tuple[Params, Any, jax.Array]:
+    """One SPMD training step; grads/updates follow the params sharding."""
+    loss, grads = jax.value_and_grad(lm_loss)(params, input_ids, cfg)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

@@ -1,0 +1,197 @@
+"""Fused mixed-precision dequant + attention decode kernel (Pallas TPU).
+
+SURVEY.md §7.3 hard part #2: decode attention reads the bit-packed tier
+pools (8/4/2-bit codes with per-token scales) and the uncompressed recent
+ring, dequantizing *inside* the kernel — codes stream HBM→VMEM at their
+packed width, so HBM traffic is cut by the same factor as storage. The
+reference has no counterpart (it fake-quantized fp16 tensors and ran eager
+torch attention, modified_llama.py:125-142).
+
+Layout contract (ops/quantization.py): codes are strided token-packed —
+token j*R + r lives in byte row r at bit offset j*bits — so in-kernel
+unpacking is shift + mask + concat along sublanes, with no data movement
+across lanes. Scales/zps are per (token, kv-head) (quant_group_size ∈
+{0, head_dim}).
+
+Masking contract: the caller folds validity into positions (invalid slot →
+position 2^30), so the kernel's only mask is position <= query position.
+
+Grid: (batch, kv_head). Per program: all pools + the recent ring fit VMEM at
+decode-relevant sizes (≤ ~8K compressed slots); each tier is one
+dequant → QK^T → online-softmax → PV chain on the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...compression.kv_cache import CompressedLayerCache, RecentCache
+from ...config import HIGH, LOW, MID, CompressionConfig
+
+Array = jax.Array
+
+NEG_INF = -1e30
+POS_SENTINEL = 1 << 30
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _unpack_dequant(stored, scale, zp, bits, n_tokens):
+    """[R, D] packed (or [N, D] raw) → [N, D] float32 values."""
+    if bits == 16:
+        return stored.astype(jnp.float32)
+    if bits == 8:
+        codes = stored.astype(jnp.float32)
+    else:
+        per_byte = 8 // bits
+        mask = 2 ** bits - 1
+        p = stored.astype(jnp.int32)
+        parts = [((p >> (j * bits)) & mask) for j in range(per_byte)]
+        codes = jnp.concatenate(parts, axis=0)[:n_tokens].astype(jnp.float32)
+    return (codes - zp) * scale
+
+
+def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
+                   tier_meta: Tuple[Tuple[int, int], ...], recent_cap: int):
+    """refs layout: per tier (k_stored, v_stored, k_scale, k_zp, v_scale,
+    v_zp, positions) ... then recent (k, v, positions), then out_ref last."""
+    o_ref = refs[-1]
+    refs = refs[:-1]
+    q = q_ref[0, 0].astype(jnp.float32)          # [rep, d]
+    qpos = qpos_ref[0, 0]
+
+    rep, d = q.shape
+    m = jnp.full((rep, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((rep, 1), jnp.float32)
+    acc = jnp.zeros((rep, d), jnp.float32)
+
+    idx = 0
+    blocks = []
+    for n_tokens, bits in tier_meta:
+        k_s, v_s, k_sc, k_zp, v_sc, v_zp, pos = refs[idx:idx + 7]
+        idx += 7
+        k = _unpack_dequant(k_s[0, :, 0, :], k_sc[0, :, 0, :], k_zp[0, :, 0, :],
+                            bits, n_tokens)
+        v = _unpack_dequant(v_s[0, :, 0, :], v_sc[0, :, 0, :], v_zp[0, :, 0, :],
+                            bits, n_tokens)
+        blocks.append((k, v, pos[:, :]))         # pos: [1, N]
+    if recent_cap:
+        rk, rv, rpos = refs[idx:idx + 3]
+        blocks.append((rk[0, :, 0, :].astype(jnp.float32),
+                       rv[0, :, 0, :].astype(jnp.float32), rpos[:, :]))
+
+    for k, v, pos in blocks:
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(pos <= qpos, s, NEG_INF)   # [rep, N] via [1, N] bcast
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot(p, v,
+                                        preferred_element_type=jnp.float32)
+        m = m_next
+
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+def fused_decode_attention(
+    q: Array,
+    cache: CompressedLayerCache,
+    recent: RecentCache,
+    q_pos: Array,
+    cfg: CompressionConfig,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Decode attention over packed tier pools + recent ring.
+
+    Args:
+      q: [B, 1, H_q, D] (RoPE'd).
+      cache: layer's compressed pools.
+      recent: uncompressed decode-token ring.
+      q_pos: [B, 1] int32 current positions.
+      cfg: compression config (tier bit widths).
+
+    Returns: [B, 1, H_q, D] attention output.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, _, hq, d = q.shape
+    hkv = recent.k.shape[2]
+    n_rep = hq // hkv
+    rep = max(n_rep, 8)  # pad query rows to one sublane tile
+    sm_scale = 1.0 / (d ** 0.5)
+
+    q_r = q[:, 0].reshape(b, hkv, n_rep, d)
+    if rep != n_rep:
+        q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rep - n_rep), (0, 0)))
+
+    inputs: List[Array] = [q_pos.astype(jnp.int32), q_r]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda bi, hi: (bi, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, rep, d), lambda bi, hi: (bi, hi, 0, 0)),
+    ]
+    tier_meta = []
+    for tier, t in zip((HIGH, MID, LOW), cache.tiers):
+        n = t.capacity
+        if n == 0:
+            continue
+        bits = cfg.tier_bits(tier)
+        if t.k_scale.shape[-1] != 1:
+            raise NotImplementedError(
+                "fused decode kernel supports per-(token, head) scales "
+                "(quant_group_size in {0, head_dim})")
+        masked_pos = jnp.where(t.valid, t.positions, POS_SENTINEL)
+        tier_meta.append((n, bits))
+        rows = t.k_stored.shape[1]
+        for arr, blk in (
+            (t.k_stored, (1, rows, 1, d if bits != 16 else d)),
+            (t.v_stored, (1, rows, 1, d)),
+            (t.k_scale, (1, n, 1, 1)),
+            (t.k_zp, (1, n, 1, 1)),
+            (t.v_scale, (1, n, 1, 1)),
+            (t.v_zp, (1, n, 1, 1)),
+        ):
+            inputs.append(arr)
+            in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, 0, hi, 0)))
+        inputs.append(masked_pos)
+        in_specs.append(pl.BlockSpec((1, masked_pos.shape[1]),
+                                     lambda bi, hi: (bi, 0)))
+
+    recent_cap = recent.capacity
+    if recent_cap:
+        r_mask = jnp.arange(recent_cap)[None, :] < recent.length[:, None]
+        r_pos = jnp.where(r_mask, recent.positions, POS_SENTINEL)
+        for arr, blk in ((recent.k, (1, recent_cap, 1, d)),
+                         (recent.v, (1, recent_cap, 1, d))):
+            inputs.append(arr)
+            in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, 0, hi, 0)))
+        inputs.append(r_pos)
+        in_specs.append(pl.BlockSpec((1, recent_cap), lambda bi, hi: (bi, 0)))
+
+    kernel = functools.partial(_decode_kernel, sm_scale=sm_scale,
+                               tier_meta=tuple(tier_meta),
+                               recent_cap=recent_cap)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hkv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda bi, hi: (bi, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*inputs)
+    out = out[:, :, :n_rep, :].reshape(b, 1, hq, d)
+    return out

@@ -194,7 +194,9 @@ def flash_prefill_with_prompt_mass(
     lse = lse[:, :, :s]
 
     # Exact side-channel: Σ_{j<P, j<=i} exp(q_i·k_j·scale − lse_i), head-mean.
-    k_prompt = kt[:, :, :prompt_len].astype(jnp.float32)
+    # The prompt slice is tiny (P <= 128), so GQA head expansion is cheap.
+    k_prompt = jnp.repeat(kt[:, :, :prompt_len].astype(jnp.float32),
+                          hq // hkv, axis=1)
     s_p = jnp.einsum("bhqd,bhpd->bhqp", qt[:, :, :s].astype(jnp.float32),
                      k_prompt) * sm_scale
     q_pos = jnp.arange(s)[None, None, :, None]

@@ -122,32 +122,50 @@ def dequantize(codes_f: Array, scale: Array, zero_point: Array,
 # Physical bit packing (the part the reference only pretended to do)
 # ---------------------------------------------------------------------------
 
-def pack_codes(codes: Array, bits: int) -> Array:
-    """Pack uint8 codes (< 2^bits) sub-byte along the last axis.
+def pack_codes(codes: Array, bits: int, axis: int = -3) -> Array:
+    """Pack uint8 codes (< 2^bits) sub-byte along `axis` (token axis).
 
-    8 bits → identity; 4 bits → 2 codes/byte; 2 bits → 4 codes/byte.
-    Last-axis length must be divisible by 8 // bits.
+    Strided token-axis packing: with R = ceil(N / (8/bits)) byte rows, token
+    j*R + r lives in byte row r at bit offset j*bits. Unpacking is then pure
+    shift + mask + concatenate along the sublane axis — no interleaving data
+    movement — which is exactly what the fused TPU decode kernel wants
+    (channel-axis packing would need a lane reshuffle; interleaved packing
+    would need an element-repeat).
+
+    8 bits → identity; 4 bits → 2 tokens/byte; 2 bits → 4 tokens/byte.
+    The token count is zero-padded to a multiple of 8 // bits.
     """
     if bits == 8:
         return codes
+    axis = axis % codes.ndim
     per_byte = 8 // bits
-    d = codes.shape[-1]
-    assert d % per_byte == 0, (d, bits)
-    cg = codes.reshape(*codes.shape[:-1], d // per_byte, per_byte)
-    shifts = jnp.arange(per_byte, dtype=jnp.uint8) * bits
-    packed = (cg << shifts).sum(axis=-1).astype(jnp.uint8)
-    return packed
+    n = codes.shape[axis]
+    pad = (-n) % per_byte
+    if pad:
+        widths = [(0, 0)] * codes.ndim
+        widths[axis] = (0, pad)
+        codes = jnp.pad(codes, widths)
+    r = (n + pad) // per_byte
+    new_shape = (codes.shape[:axis] + (per_byte, r) + codes.shape[axis + 1:])
+    cg = codes.reshape(new_shape)  # token j*R + r → index [j, r]
+    shift_shape = [1] * (codes.ndim + 1)
+    shift_shape[axis] = per_byte
+    shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * bits).reshape(shift_shape)
+    return (cg << shifts).sum(axis=axis).astype(jnp.uint8)
 
 
-def unpack_codes(packed: Array, bits: int) -> Array:
-    """Inverse of `pack_codes`: uint8 packed bytes → uint8 codes."""
+def unpack_codes(packed: Array, bits: int, num_tokens: int,
+                 axis: int = -3) -> Array:
+    """Inverse of `pack_codes`: packed bytes → uint8 codes ([num_tokens] along
+    `axis`). Pure shift+mask+concat (kernel-friendly)."""
     if bits == 8:
         return packed
+    axis = axis % packed.ndim
     per_byte = 8 // bits
     mask = jnp.uint8(2 ** bits - 1)
-    shifts = jnp.arange(per_byte, dtype=jnp.uint8) * bits
-    codes = (packed[..., None] >> shifts) & mask
-    return codes.reshape(*packed.shape[:-1], packed.shape[-1] * per_byte)
+    parts = [(packed >> jnp.uint8(j * bits)) & mask for j in range(per_byte)]
+    codes = jnp.concatenate(parts, axis=axis)
+    return jax.lax.slice_in_dim(codes, 0, num_tokens, axis=axis)
 
 
 def quantize_tier(x: Array, bits: int, group_size: int,
@@ -155,13 +173,15 @@ def quantize_tier(x: Array, bits: int, group_size: int,
     """Quantize + physically pack one precision tier.
 
     Args:
-      x: [..., D] float tensor (all tokens of one tier).
+      x: [..., N, H, D] float tensor (N tokens of one tier; packing runs
+        along the token axis -3).
       bits: tier bit width; 16 stores raw `store_dtype` with unit scales.
       group_size: channels per scale group.
 
     Returns:
-      (stored, scale, zero_point) — `stored` is uint8-packed codes for
-      bits<16 or the raw values for bits==16.
+      (stored, scale, zero_point) — `stored` is uint8 token-packed codes
+      [..., ceil(N / (8/bits)), H, D] for bits<16, or raw values for
+      bits==16; scale/zp are [..., N, H, D // group_size] float32.
     """
     if bits == 16:
         g = x.shape[-1] // group_size
@@ -170,15 +190,16 @@ def quantize_tier(x: Array, bits: int, group_size: int,
         return x.astype(store_dtype), ones, zeros
     scale, zp = quant_params(x, bits, group_size)
     codes = quantize(x, scale, zp, bits)
-    return pack_codes(codes, bits), scale, zp
+    return pack_codes(codes, bits, axis=-3), scale, zp
 
 
 def dequantize_tier(stored: Array, scale: Array, zero_point: Array, bits: int,
                     dtype=jnp.float32) -> Array:
-    """Unpack + dequantize one tier back to float."""
+    """Unpack + dequantize one tier back to float [..., N, H, D]."""
     if bits == 16:
         return stored.astype(dtype)
-    codes = unpack_codes(stored, bits)
+    num_tokens = scale.shape[-3]
+    codes = unpack_codes(stored, bits, num_tokens, axis=-3)
     return dequantize(codes.astype(jnp.float32), scale, zero_point, dtype)
 
 

@@ -44,13 +44,16 @@ def test_token_costs(cfg):
 
 
 @pytest.mark.parametrize("bits", [2, 4, 8])
-def test_pack_unpack_roundtrip(rng, bits):
+@pytest.mark.parametrize("n_tokens", [16, 13])  # aligned + ragged (pads)
+def test_pack_unpack_roundtrip(rng, bits, n_tokens):
     codes = jnp.asarray(
-        rng.integers(0, 2 ** bits, size=(3, 5, 64)).astype(np.uint8))
-    packed = q.pack_codes(codes, bits)
-    assert packed.shape[-1] == 64 * bits // 8
+        rng.integers(0, 2 ** bits,
+                     size=(2, n_tokens, 3, 64)).astype(np.uint8))
+    packed = q.pack_codes(codes, bits, axis=-3)
+    per_byte = 8 // bits
+    assert packed.shape[-3] == -(-n_tokens // per_byte)  # token-axis shrinks
     assert packed.dtype == jnp.uint8
-    out = q.unpack_codes(packed, bits)
+    out = q.unpack_codes(packed, bits, n_tokens, axis=-3)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
 
 
@@ -83,12 +86,12 @@ def test_quant_degenerate_constant_input():
 
 @pytest.mark.parametrize("bits", [2, 4, 8, 16])
 def test_quantize_tier_roundtrip(rng, bits):
-    x = jnp.asarray(rng.normal(size=(2, 6, 4, 32)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8, 4, 32)).astype(np.float32))
     stored, scale, zp = q.quantize_tier(x, bits, group_size=16,
                                         store_dtype=jnp.float32)
     if bits < 16:
         assert stored.dtype == jnp.uint8
-        assert stored.shape[-1] == 32 * bits // 8  # physically smaller
+        assert stored.shape[-3] == 8 * bits // 8  # token axis shrinks
     recon = q.dequantize_tier(stored, scale, zp, bits)
     err = float(jnp.abs(recon - x).max())
     max_scale = float(scale.max())
