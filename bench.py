@@ -56,7 +56,8 @@ def measure_rtt() -> float:
 
 
 def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
-                use_flash: bool, compare_uncompressed: bool, reps: int = 3):
+                use_flash: bool, compare_uncompressed: bool, reps: int = 3,
+                use_fused_decode: bool = False):
     from realtime_kv_cache_compression_tpu.compression import (
         summarize_layer_stats)
     from realtime_kv_cache_compression_tpu.models import llama
@@ -78,7 +79,7 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
     prefill = jax.jit(lambda p, i: llama.prefill_compressed(
         p, i, mcfg, ccfg, max_decode_len=new_tokens, use_flash=use_flash))
     loop = jax.jit(lambda p, t, s: llama.decode_loop(
-        p, t, s, new_tokens - 1, mcfg, ccfg))
+        p, t, s, new_tokens - 1, mcfg, ccfg, use_fused=use_fused_decode))
 
     # Compile (untimed).
     t0 = time.perf_counter()
@@ -162,6 +163,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--layers", type=int, default=22)
     ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--fused-decode", action="store_true",
+                    help="use the fused Pallas dequant-attention decode "
+                         "kernel")
     ap.add_argument("--no-baseline-arm", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
@@ -182,11 +186,13 @@ def main():
     try:
         res = bench_model(mcfg, ccfg, args.seq, args.new_tokens, args.batch,
                           use_flash,
-                          compare_uncompressed=not args.no_baseline_arm)
+                          compare_uncompressed=not args.no_baseline_arm,
+                          use_fused_decode=args.fused_decode)
     except Exception as e:  # pallas path may not be available everywhere
-        if not use_flash:
+        if not use_flash and not args.fused_decode:
             raise
-        log(f"flash path failed ({type(e).__name__}: {e}); retrying dense")
+        log(f"pallas path failed ({type(e).__name__}: {e}); retrying "
+            f"without kernels")
         res = bench_model(mcfg, ccfg, args.seq, args.new_tokens, args.batch,
                           False,
                           compare_uncompressed=not args.no_baseline_arm)

@@ -59,6 +59,7 @@ class ModelRunner:
         self.max_new_tokens = max_new_tokens
         self._prefill_cache: Dict[int, Callable] = {}
         self._step_cache: Dict[str, Callable] = {}
+        self._warmed: set = set()
 
     @property
     def compressed(self) -> bool:
@@ -98,9 +99,11 @@ class ModelRunner:
         prefill = self._prefill(bucket)
         step = self._decode(bucket)
 
-        # Warm-up compile (excluded from TTFT).
-        out = prefill(self.params, ids)
-        jax.block_until_ready(out[0])
+        # Warm-up compile once per bucket (excluded from TTFT).
+        if bucket not in self._warmed:
+            out = prefill(self.params, ids)
+            jax.block_until_ready(out[0])
+            self._warmed.add(bucket)
 
         t0 = time.perf_counter()
         if self.compressed:
