@@ -124,7 +124,8 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
     result = {"tok_per_s": tok_per_s, "ttft": ttft, "summary": summary}
 
     if compare_uncompressed:
-        pre_u = jax.jit(lambda p, i: llama.prefill_uncompressed(p, i, mcfg))
+        pre_u = jax.jit(lambda p, i: llama.prefill_uncompressed(
+            p, i, mcfg, use_flash=use_flash))
         pad_len = seq_len + new_tokens
 
         def pad(a):

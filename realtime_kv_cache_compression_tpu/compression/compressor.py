@@ -52,6 +52,8 @@ def compress_layer_kv(
     layer_idx: int,
     cfg: CompressionConfig,
     model_cfg: ModelConfig,
+    token_valid: Array = None,
+    prompt_lens: Array = None,
 ) -> Tuple[CompressedLayerCache, Dict[str, Array]]:
     """Compress one layer's prefill K/V into packed tier pools.
 
@@ -62,6 +64,10 @@ def compress_layer_kv(
       prompt_mass: [B, S] prompt attention mass side-channel.
       layer_idx: static layer index.
       cfg, model_cfg: static configs.
+      token_valid: optional [B, S] bool for ragged (padded) batches; padding
+        tokens are never stored, and position-bias / relevance terms follow
+        the true per-row lengths.
+      prompt_lens: optional [B] dynamic prompt lengths (with token_valid).
 
     Returns:
       (cache, stats) — `cache` is the layer's `CompressedLayerCache`; `stats`
@@ -72,8 +78,11 @@ def compress_layer_kv(
     group_size = cfg.quant_group_size or head_dim
     store_dtype = jnp.dtype(model_cfg.dtype)
 
-    # Step 2: importance scores (Step 1, prompt identification, is static).
-    scores = importance_scores(prompt_mass, layer_idx, seq_len, prompt_len, cfg)
+    # Step 2: importance scores (Step 1, prompt identification, is static
+    # for uniform batches, per-row dynamic for ragged ones).
+    lengths = token_valid.sum(axis=-1) if token_valid is not None else None
+    scores = importance_scores(prompt_mass, layer_idx, seq_len, prompt_len,
+                               cfg, lengths=lengths, prompt_lens=prompt_lens)
 
     # Step 3: precision labels + stats.
     labels, prec_stats = assign_precision(scores, cfg)
@@ -81,7 +90,8 @@ def compress_layer_kv(
     # Step 5 (ordered before 4 here — selection decides what to quantize, so
     # we never quantize dropped tokens; the reference quantized everything
     # then threw 40-60% of it away).
-    sel: Selection = select_tokens(scores, labels, layer_idx, cfg)
+    sel: Selection = select_tokens(scores, labels, layer_idx, cfg,
+                                   token_valid=token_valid)
 
     # Step 4: quantize + physically pack each tier pool.
     tiers = []
@@ -90,8 +100,10 @@ def compress_layer_kv(
         bits = cfg.tier_bits(tier)
         k_t = _gather_tokens(k, idx)
         v_t = _gather_tokens(v, idx)
-        k_stored, k_scale, k_zp = quantize_tier(k_t, bits, group_size, store_dtype)
-        v_stored, v_scale, v_zp = quantize_tier(v_t, bits, group_size, store_dtype)
+        k_stored, k_scale, k_zp = quantize_tier(
+            k_t, bits, group_size, store_dtype, clip_frac=cfg.quant_clip_frac)
+        v_stored, v_scale, v_zp = quantize_tier(
+            v_t, bits, group_size, store_dtype, clip_frac=cfg.quant_clip_frac)
         tiers.append(TierCache(
             k_stored=k_stored, v_stored=v_stored,
             k_scale=k_scale, k_zp=k_zp, v_scale=v_scale, v_zp=v_zp,
@@ -110,11 +122,13 @@ def compress_layer_kv(
                         head_dim * num_kv_heads)
 
     kept = sel.kept_mask.sum(axis=-1)
+    true_len = (token_valid.sum(axis=-1) if token_valid is not None
+                else jnp.full((batch,), seq_len))
     stats = {
-        "seq_len": jnp.full((batch,), seq_len),
+        "seq_len": true_len,
         "kept_tokens": kept,
-        "compression_ratio": kept / seq_len,          # element-kept ratio
-        "token_memory_savings": 1.0 - kept / seq_len,
+        "compression_ratio": kept / true_len,         # element-kept ratio
+        "token_memory_savings": 1.0 - kept / true_len,
         "importance_mean": scores.mean(axis=-1),
         "importance_std": scores.std(axis=-1),
         "importance_min": scores.min(axis=-1),

@@ -101,6 +101,10 @@ class CompressionConfig:
     # scale). The reference used a single scale across the whole fused
     # kv_heads*head_dim token vector; finer groups strictly improve quality.
     quant_group_size: int = 0
+    # Outlier handling: quant range from the (f, 1-f) per-group quantiles
+    # instead of absolute min/max; outliers clamp into the clipped range.
+    # 0 disables (reference behavior).
+    quant_clip_frac: float = 0.0
 
     # Reference parity flag: recompute the prefill attention output against the
     # compressed K (modified_llama.py:125-140). Off by default — keeping the
@@ -161,25 +165,44 @@ class CompressionConfig:
         """Static prompt prefix length (unified_compressor.py:55)."""
         return max(1, min(int(seq_len * self.prompt_frac), self.prompt_cap))
 
-    def slot_capacity(self, seq_len: int, layer_idx: int) -> int:
-        """Static number of selected-token slots for a layer."""
+    def token_limit(self, seq_len: int, layer_idx: int) -> int:
+        """Max tokens SELECTED for a layer — exact, bucket-independent
+        semantics: ceil(seq_len · ratio), floored by the emergency fraction.
+        (For ragged rows the same formula applies to the true length.)"""
         k = math.ceil(seq_len * self.layer_ratio(layer_idx))
         k = max(k, max(1, math.ceil(seq_len * self.fallback_frac)))
-        return min(_round_up(k, self.slot_align), seq_len)
+        return min(k, seq_len)
+
+    def tier_limits(self, limit: int) -> Tuple[int, int]:
+        """Quantile-mode tier boundaries within `limit` selected tokens:
+        the top ceil(limit·f_h) are HIGH, the next ceil(limit·f_m) MID."""
+        fh, fm, _ = self.tier_fractions
+        n_h = min(math.ceil(limit * fh), limit)
+        n_m = min(math.ceil(limit * fm), limit - n_h)
+        return n_h, n_m
+
+    def slot_capacity(self, seq_len: int, layer_idx: int) -> int:
+        """Static ALLOCATED selected-token slots (>= token_limit, aligned)."""
+        return min(_round_up(self.token_limit(seq_len, layer_idx),
+                             self.slot_align), _round_up(seq_len, self.slot_align))
 
     def tier_capacities(self, seq_len: int, layer_idx: int) -> Tuple[int, int, int]:
-        """Static per-tier capacities (high, mid, low) for a layer's cache."""
-        cap = self.slot_capacity(seq_len, layer_idx)
+        """Static per-tier ALLOCATED pool capacities (high, mid, low).
+
+        Alignment affects only storage; selection counts are governed by
+        token_limit/tier_limits, so retention and tier mix are independent
+        of padding-bucket choice.
+        """
+        limit = self.token_limit(seq_len, layer_idx)
+        cap = _round_up(limit, self.slot_align)
         if self.tier_mode == "threshold":
             # Any tier could hold every selected token.
             return (cap, cap, cap)
-        fh, fm, _ = self.tier_fractions
-        n_h = _round_up(int(round(cap * fh)), self.slot_align)
-        n_h = min(n_h, cap)
-        n_m = _round_up(int(round(cap * fm)), self.slot_align)
-        n_m = min(n_m, cap - n_h)
-        n_l = cap - n_h - n_m
-        return (n_h, n_m, n_l)
+        n_h, n_m = self.tier_limits(limit)
+        n_l = limit - n_h - n_m
+        return (_round_up(n_h, self.slot_align) if n_h else 0,
+                _round_up(n_m, self.slot_align) if n_m else 0,
+                _round_up(n_l, self.slot_align) if n_l else 0)
 
 
 @dataclasses.dataclass(frozen=True)

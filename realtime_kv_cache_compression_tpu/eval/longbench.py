@@ -38,12 +38,14 @@ from . import metrics as M
 
 
 def pick_bucket(n: int, max_length: int, min_bucket: int = 256) -> int:
-    """Largest power-of-two bucket <= max(n, min_bucket), capped at
-    max_length."""
+    """Smallest power-of-two bucket >= n, clamped to [min_bucket,
+    max_length]. Sequences longer than max_length are middle-truncated;
+    shorter ones are right-padded and evaluated ragged (exact — padding is
+    never attended or stored)."""
     b = min_bucket
-    while b * 2 <= min(n, max_length):
+    while b < min(n, max_length):
         b *= 2
-    return b
+    return min(b, max_length)
 
 
 class ModelRunner:
@@ -68,13 +70,13 @@ class ModelRunner:
     def _prefill(self, bucket: int):
         if bucket not in self._prefill_cache:
             if self.compressed:
-                fn = jax.jit(lambda p, i: llama.prefill_compressed(
+                fn = jax.jit(lambda p, i, n: llama.prefill_compressed(
                     p, i, self.mcfg, self.ccfg,
                     max_decode_len=self.max_new_tokens,
-                    use_flash=self.use_flash))
+                    use_flash=self.use_flash, lengths=n))
             else:
-                fn = jax.jit(lambda p, i: llama.prefill_uncompressed(
-                    p, i, self.mcfg))
+                fn = jax.jit(lambda p, i, n: llama.prefill_uncompressed(
+                    p, i, self.mcfg, lengths=n))
             self._prefill_cache[bucket] = fn
         return self._prefill_cache[bucket]
 
@@ -92,24 +94,30 @@ class ModelRunner:
             self._step_cache[key] = fn
         return self._step_cache[key]
 
-    def generate(self, ids: jax.Array, eos_token_id: Optional[int] = None
-                 ) -> Dict[str, Any]:
-        """Greedy generation; returns tokens + perf + compression stats."""
+    def generate(self, ids: jax.Array, eos_token_id: Optional[int] = None,
+                 lengths: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """Greedy generation; returns tokens + perf + compression stats.
+
+        `ids` is a [B, bucket] right-padded batch; `lengths` the true
+        per-row lengths (defaults to full bucket).
+        """
         bucket = ids.shape[1]
+        if lengths is None:
+            lengths = jnp.full((ids.shape[0],), bucket, jnp.int32)
         prefill = self._prefill(bucket)
         step = self._decode(bucket)
 
         # Warm-up compile once per bucket (excluded from TTFT).
         if bucket not in self._warmed:
-            out = prefill(self.params, ids)
+            out = prefill(self.params, ids, lengths)
             jax.block_until_ready(out[0])
             self._warmed.add(bucket)
 
         t0 = time.perf_counter()
         if self.compressed:
-            logits, state, stats = prefill(self.params, ids)
+            logits, state, stats = prefill(self.params, ids, lengths)
         else:
-            logits, kv = prefill(self.params, ids)
+            logits, kv = prefill(self.params, ids, lengths)
         jax.block_until_ready(logits)
         ttft = time.perf_counter() - t0
 
@@ -123,8 +131,7 @@ class ModelRunner:
                 kv = tuple(jnp.pad(a, ((0, 0), (0, 0),
                                        (0, pad_len - a.shape[2]),
                                        (0, 0), (0, 0))) for a in kv)
-                pos = jnp.full((ids.shape[0],), bucket, jnp.int32)
-                rest, _, _ = step(self.params, tok, kv, pos)
+                rest, _, _ = step(self.params, tok, kv, lengths)
             out_tokens = jnp.concatenate([tok[:, None], rest], axis=1)
         else:
             out_tokens = tok[:, None]
@@ -169,11 +176,14 @@ class LongBenchEvaluator:
 
     def generate_response(self, prompt: str) -> Dict[str, Any]:
         ids = encode_ids(self.tokenizer, prompt)
+        ids = truncate_middle(ids, self.max_length)
         bucket = pick_bucket(len(ids), self.max_length)
-        ids = truncate_middle(ids, bucket)
-        arr = jnp.asarray(ids, jnp.int32)[None]
+        length = len(ids)
+        arr = jnp.asarray(ids + [0] * (bucket - length), jnp.int32)[None]
         eos = getattr(self.tokenizer, "eos_token_id", None)
-        out = self.runner.generate(arr, eos_token_id=eos)
+        out = self.runner.generate(arr, eos_token_id=eos,
+                                   lengths=jnp.asarray([length], jnp.int32))
+        out["context_length"] = length
         text = decode_ids(self.tokenizer, [int(t) for t in out["tokens"][0]])
         out["response"] = text.strip()
         return out

@@ -144,11 +144,13 @@ class DecodeState:
     position: Array  # [B] next position index
 
 
-def _prefill_attention(q, k, v, prompt_len, use_flash):
+def _prefill_attention(q, k, v, prompt_len, use_flash, prompt_lens=None):
     if use_flash:
         from ..ops.pallas.flash_prefill import flash_prefill_with_prompt_mass
-        return flash_prefill_with_prompt_mass(q, k, v, prompt_len)
-    return prefill_attention_with_prompt_mass(q, k, v, prompt_len)
+        return flash_prefill_with_prompt_mass(q, k, v, prompt_len,
+                                              prompt_lens=prompt_lens)
+    return prefill_attention_with_prompt_mass(q, k, v, prompt_len,
+                                              prompt_lens=prompt_lens)
 
 
 def prefill_compressed(
@@ -158,8 +160,16 @@ def prefill_compressed(
     ccfg: CompressionConfig,
     max_decode_len: int = 128,
     use_flash: bool = False,
+    lengths: Optional[Array] = None,
 ) -> Tuple[Array, DecodeState, List[Dict[str, Array]]]:
     """Full-sequence prefill with per-layer real-time KV compression.
+
+    Args:
+      lengths: optional [B] true sequence lengths for ragged batches
+        (sequences left-aligned, padded to the bucket on the right). Causal
+        masking already isolates real queries from padding keys; compression
+        additionally never stores padding tokens, and last-position logits /
+        decode positions follow the true lengths.
 
     Returns (logits for the last position [B, V], decode state, per-layer
     compression stats).
@@ -168,6 +178,16 @@ def prefill_compressed(
     prompt_len = ccfg.prompt_length(s)
     h = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    if lengths is not None:
+        token_valid = positions < lengths[:, None]
+        # Reference heuristic per row: max(1, min(len * frac, cap))
+        # (unified_compressor.py:55), dynamic over the ragged batch.
+        prompt_lens = jnp.clip(
+            (lengths.astype(jnp.float32) * ccfg.prompt_frac).astype(jnp.int32),
+            1, prompt_len)
+    else:
+        token_valid = None
+        prompt_lens = None
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
     caches, recents, all_stats = [], [], []
@@ -177,10 +197,11 @@ def prefill_compressed(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn_out, prompt_mass = _prefill_attention(q, k, v, prompt_len,
-                                                   use_flash)
+                                                   use_flash, prompt_lens)
 
         cache, stats = compress_layer_kv(k, v, prompt_mass, layer_idx, ccfg,
-                                         cfg)
+                                         cfg, token_valid=token_valid,
+                                         prompt_lens=prompt_lens)
         caches.append(cache)
         all_stats.append(stats)
         recents.append(init_recent_cache(b, max_decode_len, cfg))
@@ -199,9 +220,16 @@ def prefill_compressed(
         x2 = rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps)
         h = h + _mlp(layer, x2)
 
-    logits = logits_from_hidden(params, h[:, -1], cfg)
+    if lengths is not None:
+        last_h = jnp.take_along_axis(
+            h, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        end_pos = lengths.astype(jnp.int32)
+    else:
+        last_h = h[:, -1]
+        end_pos = jnp.full((b,), s, jnp.int32)
+    logits = logits_from_hidden(params, last_h, cfg)
     state = DecodeState(caches=tuple(caches), recents=tuple(recents),
-                        position=jnp.full((b,), s, jnp.int32))
+                        position=end_pos)
     return logits, state, all_stats
 
 
@@ -227,9 +255,13 @@ def prefill_uncompressed(
     params: Params,
     input_ids: Array,
     cfg: ModelConfig,
+    lengths: Optional[Array] = None,
+    use_flash: bool = False,
 ) -> Tuple[Array, Tuple[Array, Array]]:
     """Vanilla prefill (baseline arm). Returns (last-pos logits, (K, V))
-    with K/V stacked over layers: [L, B, S, H_kv, D]."""
+    with K/V stacked over layers: [L, B, S, H_kv, D]. With `lengths`,
+    right-padded ragged batches gather logits at the true last position
+    (padding keys are isolated by causality; decode overwrites pad slots)."""
     b, s = input_ids.shape
     h = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
@@ -240,12 +272,17 @@ def prefill_uncompressed(
         q, k, v = _qkv(layer, x, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn_out, _ = prefill_attention_with_prompt_mass(q, k, v, 1)
+        attn_out, _ = _prefill_attention(q, k, v, 1, use_flash)
         ks.append(k)
         vs.append(v)
         h = h + attn_out.reshape(b, s, cfg.q_dim) @ layer["wo"]
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
-    logits = logits_from_hidden(params, h[:, -1], cfg)
+    if lengths is not None:
+        last_h = jnp.take_along_axis(
+            h, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    else:
+        last_h = h[:, -1]
+    logits = logits_from_hidden(params, last_h, cfg)
     return logits, (jnp.stack(ks), jnp.stack(vs))
 
 

@@ -40,16 +40,19 @@ def prefill_attention_with_prompt_mass(
     v: Array,
     prompt_len: int,
     causal: bool = True,
+    prompt_lens: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Dense causal attention + prompt attention-mass side-channel.
 
     Args:
       q: [B, S, H_q, D]; k, v: [B, S, H_kv, D] (H_q % H_kv == 0).
-      prompt_len: static prompt prefix length P.
+      prompt_len: static prompt prefix length P (upper bound).
+      prompt_lens: optional [B] dynamic per-row prompt lengths <= P (ragged
+        batches); mass columns beyond a row's prompt are excluded.
 
     Returns:
       out: [B, S, H_q, D] attention output.
-      prompt_mass: [B, S] = mean_h sum_{j<P} softmax(qk)[b,h,i,j]
+      prompt_mass: [B, S] = mean_h sum_{j<P_b} softmax(qk)[b,h,i,j]
         (token_importance.py:41-45 semantics, GQA-aware).
     """
     b, s, hq, d = q.shape
@@ -64,7 +67,12 @@ def prefill_attention_with_prompt_mass(
         k_pos = jnp.arange(s)[None, :]
         logits = jnp.where((k_pos <= q_pos)[None, None], logits, NEG_INF)
     attn = jax.nn.softmax(logits, axis=-1)
-    prompt_mass = attn[:, :, :, :prompt_len].mean(axis=1).sum(axis=-1)
+    prompt_probs = attn[:, :, :, :prompt_len]
+    if prompt_lens is not None:
+        col = jnp.arange(prompt_len)[None, None, None, :]
+        prompt_probs = jnp.where(col < prompt_lens[:, None, None, None],
+                                 prompt_probs, 0.0)
+    prompt_mass = prompt_probs.mean(axis=1).sum(axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
     return out.astype(q.dtype), prompt_mass
 

@@ -46,14 +46,22 @@ def prompt_attention_mass(attn_weights: Array, prompt_len: int) -> Array:
     return prompt_cols.mean(axis=1).sum(axis=-1)
 
 
-def minmax_normalize(x: Array, eps: float = 1e-8) -> Array:
+def minmax_normalize(x: Array, eps: float = 1e-8,
+                     valid: Array = None) -> Array:
     """Per-row min–max normalization to [0, 1] with a safe zero fallback.
 
     Mirrors token_importance.py:70-83 (including the `denominator > eps`
-    guard that maps constant rows to all-zeros).
+    guard that maps constant rows to all-zeros). With `valid`, the row
+    min/max are taken over valid entries only, so padding garbage cannot
+    skew the normalization of a ragged batch.
     """
-    row_min = x.min(axis=-1, keepdims=True)
-    row_max = x.max(axis=-1, keepdims=True)
+    if valid is not None:
+        big = jnp.asarray(jnp.finfo(jnp.float32).max, x.dtype)
+        row_min = jnp.where(valid, x, big).min(axis=-1, keepdims=True)
+        row_max = jnp.where(valid, x, -big).max(axis=-1, keepdims=True)
+    else:
+        row_min = x.min(axis=-1, keepdims=True)
+        row_max = x.max(axis=-1, keepdims=True)
     denom = row_max - row_min
     return jnp.where(denom > eps, (x - row_min) / jnp.where(denom > eps, denom, 1.0),
                      jnp.zeros_like(x))
@@ -83,25 +91,43 @@ def importance_scores(
     seq_len: int,
     prompt_len: int,
     cfg: CompressionConfig,
+    lengths: Array = None,
+    prompt_lens: Array = None,
 ) -> Array:
     """Three-term importance score for every token of a layer.
 
     Args:
       prompt_mass: [B, S] raw prompt attention mass A_P,i.
       layer_idx: static layer index (selects w_l).
-      seq_len: static sequence length T.
-      prompt_len: static prompt prefix length N_p.
+      seq_len: static sequence length T (the padding bucket for ragged
+        batches).
+      prompt_len: static prompt prefix length N_p (from the bucket).
       cfg: compression hyperparameters.
+      lengths: optional [B] true lengths — position bias and context
+        relevance then follow the true length per row (as the reference did
+        with its per-sample seq_len), not the bucket.
+      prompt_lens: optional [B] true prompt lengths (defaults to
+        `prompt_len`).
 
     Returns:
       [B, S] float32 importance scores.
     """
     mass = prompt_mass.astype(jnp.float32)
-    normalized = minmax_normalize(mass)
+    valid = (jnp.arange(seq_len)[None, :] < lengths[:, None]
+             if lengths is not None else None)
+    normalized = minmax_normalize(mass, valid=valid)
     w_l = cfg.layer_weights[layer_idx]
     term1 = cfg.alpha * normalized * w_l
-    term2 = cfg.beta * position_bias(seq_len)[None, :]
-    term3 = cfg.gamma * context_relevance(seq_len, prompt_len)
+    if lengths is None:
+        term2 = cfg.beta * position_bias(seq_len)[None, :]
+        term3 = cfg.gamma * context_relevance(seq_len, prompt_len)
+    else:
+        lens = jnp.maximum(lengths.astype(jnp.float32), 2.0)[:, None]
+        pos = jnp.arange(1, seq_len + 1, dtype=jnp.float32)[None, :]
+        term2 = cfg.beta * jnp.log(pos) / jnp.log(lens)
+        p_lens = (prompt_lens.astype(jnp.float32)[:, None]
+                  if prompt_lens is not None else float(prompt_len))
+        term3 = cfg.gamma * jnp.minimum(1.0, p_lens / lens)
     return term1 + term2 + term3
 
 

@@ -78,15 +78,13 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
     for n_tokens, bits in tier_meta:
         k_s, v_s, k_sc, k_zp, v_sc, v_zp, pos = refs[idx:idx + 7]
         idx += 7
-        k = _unpack_dequant(k_s[0, :, 0, :], k_sc[0, :, 0, :], k_zp[0, :, 0, :],
-                            bits, n_tokens)
-        v = _unpack_dequant(v_s[0, :, 0, :], v_sc[0, :, 0, :], v_zp[0, :, 0, :],
-                            bits, n_tokens)
+        k = _unpack_dequant(k_s[0, 0], k_sc[0, 0], k_zp[0, 0], bits, n_tokens)
+        v = _unpack_dequant(v_s[0, 0], v_sc[0, 0], v_zp[0, 0], bits, n_tokens)
         blocks.append((k, v, pos[:, :]))         # pos: [1, N]
     if recent_cap:
         rk, rv, rpos = refs[idx:idx + 3]
-        blocks.append((rk[0, :, 0, :].astype(jnp.float32),
-                       rv[0, :, 0, :].astype(jnp.float32), rpos[:, :]))
+        blocks.append((rk[0, 0].astype(jnp.float32),
+                       rv[0, 0].astype(jnp.float32), rpos[:, :]))
 
     for k, v, pos in blocks:
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -142,6 +140,12 @@ def fused_decode_attention(
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, rep, d), lambda bi, hi: (bi, hi, 0, 0)),
     ]
+    # Mosaic requires the last two block dims to be tile-aligned or equal to
+    # the array dims — so every pooled array goes in head-major [B, H, N, D]
+    # (blocks (1, 1, N, D)); the transposes are tiny and fuse into the
+    # surrounding program.
+    hm = lambda a: jnp.transpose(a, (0, 2, 1, 3))
+
     tier_meta = []
     for tier, t in zip((HIGH, MID, LOW), cache.tiers):
         n = t.capacity
@@ -156,15 +160,15 @@ def fused_decode_attention(
         tier_meta.append((n, bits))
         rows = t.k_stored.shape[1]
         for arr, blk in (
-            (t.k_stored, (1, rows, 1, d if bits != 16 else d)),
-            (t.v_stored, (1, rows, 1, d)),
-            (t.k_scale, (1, n, 1, 1)),
-            (t.k_zp, (1, n, 1, 1)),
-            (t.v_scale, (1, n, 1, 1)),
-            (t.v_zp, (1, n, 1, 1)),
+            (hm(t.k_stored), (1, 1, rows, d)),
+            (hm(t.v_stored), (1, 1, rows, d)),
+            (hm(t.k_scale), (1, 1, n, 1)),
+            (hm(t.k_zp), (1, 1, n, 1)),
+            (hm(t.v_scale), (1, 1, n, 1)),
+            (hm(t.v_zp), (1, 1, n, 1)),
         ):
             inputs.append(arr)
-            in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, 0, hi, 0)))
+            in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, hi, 0, 0)))
         inputs.append(masked_pos)
         in_specs.append(pl.BlockSpec((1, masked_pos.shape[1]),
                                      lambda bi, hi: (bi, 0)))
@@ -173,10 +177,10 @@ def fused_decode_attention(
     if recent_cap:
         r_mask = jnp.arange(recent_cap)[None, :] < recent.length[:, None]
         r_pos = jnp.where(r_mask, recent.positions, POS_SENTINEL)
-        for arr, blk in ((recent.k, (1, recent_cap, 1, d)),
-                         (recent.v, (1, recent_cap, 1, d))):
+        for arr, blk in ((hm(recent.k), (1, 1, recent_cap, d)),
+                         (hm(recent.v), (1, 1, recent_cap, d))):
             inputs.append(arr)
-            in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, 0, hi, 0)))
+            in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, hi, 0, 0)))
         inputs.append(r_pos)
         in_specs.append(pl.BlockSpec((1, recent_cap), lambda bi, hi: (bi, 0)))
 

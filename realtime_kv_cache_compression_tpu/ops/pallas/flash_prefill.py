@@ -153,6 +153,7 @@ def flash_prefill_with_prompt_mass(
     block_q: int = 256,
     block_k: int = 256,
     interpret: Optional[bool] = None,
+    prompt_lens: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Causal flash attention + prompt attention-mass side-channel.
 
@@ -201,6 +202,9 @@ def flash_prefill_with_prompt_mass(
                      k_prompt) * sm_scale
     q_pos = jnp.arange(s)[None, None, :, None]
     p_pos = jnp.arange(prompt_len)[None, None, None, :]
-    mass = jnp.where(p_pos <= q_pos,
+    col_ok = p_pos <= q_pos
+    if prompt_lens is not None:
+        col_ok &= p_pos < prompt_lens[:, None, None, None]
+    mass = jnp.where(col_ok,
                      jnp.exp(s_p - lse[..., None]), 0.0).sum(-1)  # [B,Hq,S]
     return o.transpose(0, 2, 1, 3), mass.mean(axis=1)

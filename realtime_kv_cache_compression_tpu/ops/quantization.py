@@ -67,13 +67,19 @@ def token_costs(labels: Array, cfg: CompressionConfig) -> Array:
 # Quantization params / quantize / dequantize
 # ---------------------------------------------------------------------------
 
-def quant_params(x: Array, bits: int, group_size: int) -> Tuple[Array, Array]:
+def quant_params(x: Array, bits: int, group_size: int,
+                 clip_frac: float = 0.0) -> Tuple[Array, Array]:
     """Asymmetric uniform quant params per channel group.
 
     Args:
       x: [..., D] float tensor; D % group_size == 0.
       bits: target bit width (2/4/8).
       group_size: channels per scale group.
+      clip_frac: outlier handling — derive the range from the
+        (clip_frac, 1-clip_frac) per-group quantiles instead of absolute
+        min/max, so a single outlier channel cannot stretch the scale and
+        destroy resolution for the rest of the group (north-star "outlier
+        detection"; values are clamped into the clipped range). 0 disables.
 
     Returns:
       (scale, zero_point), each [..., D // group_size] float32.
@@ -81,8 +87,15 @@ def quant_params(x: Array, bits: int, group_size: int) -> Tuple[Array, Array]:
     qmax = float(2 ** bits - 1)
     g = x.shape[-1] // group_size
     xg = x.reshape(*x.shape[:-1], g, group_size).astype(jnp.float32)
-    t_min = xg.min(axis=-1)
-    t_max = xg.max(axis=-1)
+    if clip_frac > 0.0 and group_size > 2:
+        xs = jnp.sort(xg, axis=-1)
+        lo_idx = max(0, min(group_size - 1, int(clip_frac * group_size)))
+        hi_idx = group_size - 1 - lo_idx
+        t_min = xs[..., lo_idx]
+        t_max = xs[..., hi_idx]
+    else:
+        t_min = xg.min(axis=-1)
+        t_max = xg.max(axis=-1)
     degenerate = (t_max - t_min) <= 0
     scale = jnp.where(degenerate, 1.0, (t_max - t_min) / qmax)
     zero_point = jnp.where(degenerate, 0.0, -t_min / scale)
@@ -169,7 +182,8 @@ def unpack_codes(packed: Array, bits: int, num_tokens: int,
 
 
 def quantize_tier(x: Array, bits: int, group_size: int,
-                  store_dtype=jnp.bfloat16) -> Tuple[Array, Array, Array]:
+                  store_dtype=jnp.bfloat16,
+                  clip_frac: float = 0.0) -> Tuple[Array, Array, Array]:
     """Quantize + physically pack one precision tier.
 
     Args:
@@ -188,7 +202,7 @@ def quantize_tier(x: Array, bits: int, group_size: int,
         ones = jnp.ones((*x.shape[:-1], g), jnp.float32)
         zeros = jnp.zeros_like(ones)
         return x.astype(store_dtype), ones, zeros
-    scale, zp = quant_params(x, bits, group_size)
+    scale, zp = quant_params(x, bits, group_size, clip_frac=clip_frac)
     codes = quantize(x, scale, zp, bits)
     return pack_codes(codes, bits, axis=-3), scale, zp
 

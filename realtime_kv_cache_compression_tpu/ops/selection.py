@@ -74,6 +74,7 @@ def select_tokens(
     labels: Array,
     layer_idx: int,
     cfg: CompressionConfig,
+    token_valid: Array = None,
 ) -> Selection:
     """Select tokens under the layer byte-budget, bucketed into tier slots.
 
@@ -84,14 +85,32 @@ def select_tokens(
         tiers follow selection rank (top slots → HIGH).
       layer_idx: static layer index (selects ratio + capacities).
       cfg: compression config.
+      token_valid: optional [B, S] bool — ragged batches: invalid (padding)
+        tokens are never selected, and the byte budget scales with the true
+        per-row length instead of the bucket length.
     """
     batch, seq_len = scores.shape
     ratio = cfg.layer_ratio(layer_idx)
-    cap = cfg.slot_capacity(seq_len, layer_idx)
-    caps = cfg.tier_capacities(seq_len, layer_idx)  # (high, mid, low)
-    budget = float(seq_len) * ratio
+    caps = cfg.tier_capacities(seq_len, layer_idx)  # allocated (high,mid,low)
 
     scores = scores.astype(jnp.float32)
+    if token_valid is not None:
+        # Ragged rows: budget, token limit and fallback floor all follow the
+        # TRUE length, so selection is independent of the padding bucket.
+        scores = jnp.where(token_valid, scores, -jnp.inf)
+        lens = token_valid.sum(axis=-1, keepdims=True).astype(jnp.float32)
+        budget = lens * ratio  # [B, 1]
+        limit = jnp.minimum(
+            jnp.maximum(jnp.ceil(lens * ratio),
+                        jnp.maximum(1.0, jnp.ceil(lens * cfg.fallback_frac))),
+            lens).astype(jnp.int32)  # [B, 1]
+        k_fb = jnp.maximum(1, (lens * cfg.fallback_frac).astype(jnp.int32))
+    else:
+        budget = jnp.full((batch, 1), float(seq_len) * ratio)
+        limit = jnp.full((batch, 1), cfg.token_limit(seq_len, layer_idx),
+                         jnp.int32)
+        k_fb = jnp.full((batch, 1), max(1, int(seq_len * cfg.fallback_frac)),
+                        jnp.int32)
     costs = token_costs(labels, cfg)
 
     # Descending stable sort by importance (selective_propagation.py:113).
@@ -99,24 +118,33 @@ def select_tokens(
     sorted_costs = jnp.take_along_axis(costs, order, axis=-1)
 
     if cfg.selection_mode == "exact_greedy":
-        sel_sorted = _greedy_exact(sorted_costs, budget)
+        sel_sorted = _greedy_exact(sorted_costs, budget[:, 0])
     else:
         csum = jnp.cumsum(sorted_costs, axis=-1)
         sel_sorted = csum <= budget
 
     # Emergency fallback (selective_propagation.py:205-211).
-    k_fb = max(1, int(seq_len * cfg.fallback_frac))
     rank = jnp.arange(seq_len)[None, :]
     none_selected = sel_sorted.sum(axis=-1, keepdims=True) == 0
     sel_sorted = jnp.where(none_selected, rank < k_fb, sel_sorted)
 
-    # Cap at total slot capacity: keep the first `cap` survivors.
-    sel_rank = jnp.cumsum(sel_sorted.astype(jnp.int32), axis=-1) - 1  # [B, S]
-    sel_sorted = sel_sorted & (sel_rank < cap)
+    if token_valid is not None:
+        # Padding tokens (sorted last, -inf scores) must never be selected —
+        # not by the budget prefix, not by the fallback.
+        sel_sorted &= jnp.take_along_axis(token_valid, order, axis=-1)
 
-    # Tier of each sorted position.
+    # Cap the selected COUNT at the exact token limit (bucket-independent).
+    sel_rank = jnp.cumsum(sel_sorted.astype(jnp.int32), axis=-1) - 1  # [B, S]
+    sel_sorted = sel_sorted & (sel_rank < limit)
+
+    # Tier of each sorted position. Quantile boundaries follow the exact
+    # per-row limit (cfg.tier_limits semantics), not allocated capacities.
     if cfg.tier_mode == "quantile":
-        n_h, n_m, _ = caps
+        fh, fm, _ = cfg.tier_fractions
+        lim_f = limit.astype(jnp.float32)
+        n_h = jnp.minimum(jnp.ceil(lim_f * fh), lim_f).astype(jnp.int32)
+        n_m = jnp.minimum(jnp.ceil(lim_f * fm),
+                          limit - n_h).astype(jnp.int32)
         tier_sorted = jnp.where(
             sel_rank < n_h, HIGH, jnp.where(sel_rank < n_h + n_m, MID, LOW))
     else:
@@ -159,13 +187,14 @@ def select_tokens(
                / jnp.maximum(n_selected, 1))
     stats = {
         "selected_count": n_selected,
-        "budget_utilization": spent / budget,
+        "budget_utilization": spent / jnp.maximum(budget[:, 0], 1e-9),
         "avg_importance": avg_imp,
         "high_count": tier_counts[HIGH],
         "medium_count": tier_counts[MID],
         "low_count": tier_counts[LOW],
         "propagation_ratio": jnp.full((batch,), ratio),
-        "compression_ratio": kept_mask.sum(axis=-1) / seq_len,
+        "compression_ratio": kept_mask.sum(axis=-1) / (
+            token_valid.sum(axis=-1) if token_valid is not None else seq_len),
     }
     return Selection(
         indices=(indices[HIGH], indices[MID], indices[LOW]),

@@ -81,9 +81,9 @@ class ServingEngine:
         self._next_rid = 0
         self.completed: Dict[int, Request] = {}
 
-        self._prefill = jax.jit(lambda p, i: llama.prefill_compressed(
+        self._prefill = jax.jit(lambda p, i, n: llama.prefill_compressed(
             p, i, mcfg, ccfg, max_decode_len=max_new_tokens,
-            use_flash=use_flash))
+            use_flash=use_flash, lengths=n))
         # Multi-step batched decode; returns per-step tokens for all slots.
         self._decode = jax.jit(lambda p, t, s: llama.decode_loop(
             p, t, s, decode_chunk, mcfg, ccfg,
@@ -119,24 +119,21 @@ class ServingEngine:
 
     # -- internals ----------------------------------------------------------
 
-    def _bucket_ids(self, ids: List[int]) -> Array:
+    def _bucket_ids(self, ids: List[int]) -> Tuple[Array, Array]:
+        """Right-pad to the serving bucket; true length rides along (ragged
+        prefill never stores or attends padding)."""
         from ..utils.data import truncate_middle
 
         ids = truncate_middle(ids, self.context_len)
-        # Left-pad-free: bucket == context_len by repeating BOS-like first
-        # token; positions stay exact because shorter prompts simply re-use
-        # their own prefix. For serving we instead require prompts to fill
-        # the bucket via truncation or explicit padding by the caller; here
-        # shorter prompts are cycled to fill (documented limitation).
-        if len(ids) < self.context_len:
-            reps = -(-self.context_len // max(len(ids), 1))
-            ids = (ids * reps)[-self.context_len:]
-        return jnp.asarray(ids, jnp.int32)[None]
+        length = len(ids)
+        ids = ids + [0] * (self.context_len - length)
+        return (jnp.asarray(ids, jnp.int32)[None],
+                jnp.asarray([length], jnp.int32))
 
     def _admit(self, req: Request, slot: int):
         t0 = time.time()
-        ids = self._bucket_ids(req.input_ids)
-        logits, state1, stats = self._prefill(self.params, ids)
+        ids, lengths = self._bucket_ids(req.input_ids)
+        logits, state1, stats = self._prefill(self.params, ids, lengths)
         first_tok = jnp.argmax(logits, axis=-1)  # [1]
         req.ttft = time.time() - t0
         req.prefill_stats = summarize_layer_stats(stats)

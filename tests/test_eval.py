@@ -123,8 +123,11 @@ def test_load_task_data_local_then_synthetic(tmp_path):
 
 
 def test_pick_bucket():
-    assert pick_bucket(300, 4096) == 256
+    # Round UP to the next power of two (pad-and-run-ragged, no truncation
+    # below max_length).
+    assert pick_bucket(300, 4096) == 512
     assert pick_bucket(1024, 4096) == 1024
+    assert pick_bucket(1025, 4096) == 2048
     assert pick_bucket(99999, 4096) == 4096
     assert pick_bucket(10, 4096) == 256
 
