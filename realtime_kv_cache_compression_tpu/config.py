@@ -242,6 +242,15 @@ LLAMA2_13B = ModelConfig(hidden_size=5120, intermediate_size=13824,
 TINYLLAMA_1_1B = ModelConfig(hidden_size=2048, intermediate_size=5632,
                              num_layers=22, num_heads=32, num_kv_heads=4,
                              head_dim=64, max_position_embeddings=2048)
+# Same decoder family (RoPE + GQA + RMSNorm + SwiGLU); differing dims only.
+MISTRAL_7B = ModelConfig(vocab_size=32000, hidden_size=4096,
+                         intermediate_size=14336, num_layers=32,
+                         num_heads=32, num_kv_heads=8, head_dim=128,
+                         max_position_embeddings=32768, rope_theta=1e6)
+LLAMA3_8B = ModelConfig(vocab_size=128256, hidden_size=4096,
+                        intermediate_size=14336, num_layers=32,
+                        num_heads=32, num_kv_heads=8, head_dim=128,
+                        max_position_embeddings=8192, rope_theta=500000.0)
 
 
 def tiny_test_model(**overrides) -> ModelConfig:
