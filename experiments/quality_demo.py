@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Hermetic quality-retention demonstration.
+
+Trains a miniature Llama (with this framework's own train step) on a
+payload-recall task — [payload tokens][filler][SEP] → model must reproduce
+the payload — then measures recall accuracy through the real compressed
+inference path across compression strengths and bit tiers.
+
+Why this matters: random-weight models score 0 on any text metric, and this
+environment has no network for real checkpoints. This demo yields a genuine
+quality-vs-compression curve offline, and it stresses exactly the mechanism
+the framework claims: the payload sits in the prompt region, so
+prompt-guided importance scoring must keep those tokens through 2/4/8-bit
+quantization and token dropping for recall to survive.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_batch(rng_key, batch, payload_len, filler_len, vocab, sep):
+    """[payload][filler][SEP][payload] sequences for LM training."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2 = jax.random.split(rng_key)
+    payload = jax.random.randint(k1, (batch, payload_len), 2, vocab - 2)
+    filler = jax.random.randint(k2, (batch, filler_len), 2, vocab - 2)
+    sep_col = jnp.full((batch, 1), sep, jnp.int32)
+    return jnp.concatenate([payload, filler, sep_col, payload], axis=1), payload
+
+
+def train_recall_model(mcfg, steps, batch, payload_len, filler_len, sep,
+                       lr=3e-3, log_every=100):
+    import jax
+
+    from realtime_kv_cache_compression_tpu.models import llama, train
+
+    params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+    optimizer = train.make_optimizer(lr=lr)
+    opt_state = optimizer.init(params)
+    step_fn = jax.jit(lambda p, o, ids: train.train_step(p, o, ids, mcfg,
+                                                         optimizer))
+    key = jax.random.PRNGKey(42)
+    loss = None
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        ids, _ = make_batch(sub, batch, payload_len, filler_len,
+                            mcfg.vocab_size, sep)
+        params, opt_state, loss = step_fn(params, opt_state, ids)
+        if i % log_every == 0:
+            print(f"  train step {i}: loss {float(loss):.4f}", flush=True)
+    print(f"  final loss {float(loss):.4f}", flush=True)
+    return params
+
+
+def recall_accuracy(params, mcfg, ccfg, n_eval, payload_len, filler_len, sep,
+                    seed=123):
+    """Exact-token recall rate through prefill+decode (compressed if ccfg)."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_kv_cache_compression_tpu.models import llama
+
+    key = jax.random.PRNGKey(seed)
+    ids, payload = make_batch(key, n_eval, payload_len, filler_len,
+                              mcfg.vocab_size, sep)
+    prompt = ids[:, :payload_len + filler_len + 1]  # up to and incl. SEP
+    if ccfg is not None:
+        out, stats = llama.generate(params, prompt, mcfg, ccfg,
+                                    max_new_tokens=payload_len)
+        from realtime_kv_cache_compression_tpu.compression import (
+            summarize_layer_stats)
+        summary = summarize_layer_stats(stats)
+    else:
+        logits, kv = llama.prefill_uncompressed(params, prompt, mcfg)
+        pad_len = prompt.shape[1] + payload_len
+        kv = tuple(jnp.pad(a, ((0, 0), (0, 0), (0, pad_len - a.shape[2]),
+                               (0, 0), (0, 0))) for a in kv)
+        tok = jnp.argmax(logits, axis=-1)
+        pos = jnp.full((n_eval,), prompt.shape[1], jnp.int32)
+        rest, _, _ = llama.decode_loop_uncompressed(params, tok, kv, pos,
+                                                    payload_len - 1, mcfg)
+        out = jnp.concatenate([tok[:, None], rest], axis=1)
+        summary = None
+    acc = float((out == payload).mean())
+    em = float((out == payload).all(axis=1).mean())
+    return {"token_accuracy": acc, "exact_match": em,
+            "compression": summary}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--payload", type=int, default=8)
+    ap.add_argument("--filler", type=int, default=48)
+    ap.add_argument("--eval-samples", type=int, default=64)
+    ap.add_argument("--output-dir", default="experiments/results/quality_demo")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import realtime_kv_cache_compression_tpu as rtc
+
+    mcfg = rtc.tiny_test_model(vocab_size=64, hidden_size=128,
+                               intermediate_size=256, num_layers=4,
+                               num_heads=4, num_kv_heads=2, head_dim=32,
+                               max_position_embeddings=256)
+    sep = 1
+    print("training recall model...", flush=True)
+    t0 = time.time()
+    params = train_recall_model(mcfg, args.steps, args.batch, args.payload,
+                                args.filler, sep)
+    print(f"trained in {time.time() - t0:.0f}s", flush=True)
+
+    def cc(**kw):
+        base = dict(num_layers=mcfg.num_layers, high_precision_bits=8,
+                    medium_precision_bits=4, low_precision_bits=2)
+        base.update(kw)
+        return rtc.CompressionConfig(**base)
+
+    arms = {
+        "baseline_fp": None,
+        "conservative": cc(early_layer_ratio=0.9, middle_layer_ratio=0.8,
+                           later_layer_ratio=0.7, high_precision_bits=16,
+                           medium_precision_bits=8, low_precision_bits=4),
+        "balanced_8_4_2": cc(),
+        "aggressive": cc(early_layer_ratio=0.6, middle_layer_ratio=0.4,
+                         later_layer_ratio=0.3),
+        "very_aggressive_2bit": cc(early_layer_ratio=0.4,
+                                   middle_layer_ratio=0.3,
+                                   later_layer_ratio=0.25,
+                                   high_precision_bits=4,
+                                   medium_precision_bits=2,
+                                   low_precision_bits=2),
+        "position_only_scores": cc(alpha=0.0, beta=0.85, gamma=0.15),
+    }
+    results = {}
+    for name, ccfg in arms.items():
+        r = recall_accuracy(params, mcfg, ccfg, args.eval_samples,
+                            args.payload, args.filler, sep)
+        results[name] = r
+        comp = r.pop("compression", None)
+        line = (f"{name}: token_acc={r['token_accuracy']:.3f} "
+                f"em={r['exact_match']:.3f}")
+        if comp:
+            line += (f" kept={comp['avg_compression_ratio']:.2f} "
+                     f"savings={comp['avg_memory_savings']:.2f}")
+            r["kept_ratio"] = comp["avg_compression_ratio"]
+            r["memory_savings"] = comp["avg_memory_savings"]
+        print(line, flush=True)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "quality_demo.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,16 +44,22 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _bytes_to_i32(stored):
+    """uint8 bytes → int32 in [0, 255]. Mosaic has no uint8→f32/i32 cast, so
+    bitcast to int8 (free), sign-extend to int32, and mask back."""
+    return pltpu.bitcast(stored, jnp.int8).astype(jnp.int32) & 0xFF
+
+
 def _unpack_dequant(stored, scale, zp, bits, n_tokens):
     """[R, D] packed (or [N, D] raw) → [N, D] float32 values."""
     if bits == 16:
         return stored.astype(jnp.float32)
+    p = _bytes_to_i32(stored)
     if bits == 8:
-        codes = stored.astype(jnp.float32)
+        codes = p.astype(jnp.float32)
     else:
         per_byte = 8 // bits
         mask = 2 ** bits - 1
-        p = stored.astype(jnp.int32)
         parts = [((p >> (j * bits)) & mask) for j in range(per_byte)]
         codes = jnp.concatenate(parts, axis=0)[:n_tokens].astype(jnp.float32)
     return (codes - zp) * scale
