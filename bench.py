@@ -162,7 +162,10 @@ def main():
     ap.add_argument("--seq", type=int, default=4096)
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--layers", type=int, default=22)
+    ap.add_argument("--model", default="tinyllama",
+                    choices=["tinyllama", "llama2-7b", "mistral-7b"])
+    ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fused-decode", action="store_true",
                     help="use the fused Pallas dequant-attention decode "
@@ -177,10 +180,18 @@ def main():
     import dataclasses
 
     from realtime_kv_cache_compression_tpu import (CompressionConfig,
+                                                   LLAMA2_7B, MISTRAL_7B,
                                                    TINYLLAMA_1_1B)
-    mcfg = dataclasses.replace(TINYLLAMA_1_1B, num_layers=args.layers,
-                               max_position_embeddings=args.seq + 256)
-    ccfg = CompressionConfig(num_layers=args.layers, high_precision_bits=8,
+    mcfg = {"tinyllama": TINYLLAMA_1_1B, "llama2-7b": LLAMA2_7B,
+            "mistral-7b": MISTRAL_7B}[args.model]
+    overrides = dict(max_position_embeddings=args.seq + 256)
+    if args.layers:
+        overrides["num_layers"] = args.layers
+    if args.dtype:
+        overrides["dtype"] = args.dtype
+    mcfg = dataclasses.replace(mcfg, **overrides)
+    ccfg = CompressionConfig(num_layers=mcfg.num_layers,
+                             high_precision_bits=8,
                              medium_precision_bits=4, low_precision_bits=2)
 
     use_flash = not args.no_flash

@@ -7,7 +7,7 @@ positions so decode attention is exact w.r.t. RoPE and causality.
 
 Layout per layer: three tier pools (HIGH, MID, LOW), each a `TierCache` with
 static slot capacity. Within a pool, K/V codes are packed sub-byte along the
-channel axis (see ops/quantization.py) and per-(token, kv-head, group) scales
+token axis (see ops/quantization.py) and per-(token, kv-head, group) scales
 ride alongside. Decode attends over the three pools plus an uncompressed
 "recent" ring of decode-time tokens.
 """
@@ -20,7 +20,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import CompressionConfig, ModelConfig
+from ..config import ModelConfig
 
 Array = jax.Array
 
@@ -32,9 +32,10 @@ class TierCache:
 
     Shapes (B = batch, N = static tier capacity, H = kv heads, D = head_dim,
     G = scale groups per head):
-      k_stored / v_stored: [B, ceil(N / (8/bits)), H, D] uint8 — codes packed
-          sub-byte along the *token* axis (kernel-friendly: unpack is a
-          sublane repeat + shift) — for bits < 16, else [B, N, H, D] bf16 raw.
+      k_stored / v_stored: [B, ceil(N / (8/bits)), H, D] uint8 — codes
+          strided-packed sub-byte along the *token* axis (kernel-friendly:
+          unpack is shift + mask + sublane concat, no lane movement) — for
+          bits < 16, else [B, N, H, D] bf16 raw.
       k_scale / k_zp / v_scale / v_zp: [B, N, H, G] float32.
       positions: [B, N] int32 original token positions (for RoPE/causality).
       valid: [B, N] bool slot-occupancy mask.

@@ -16,11 +16,9 @@ cache bytes + device HBM stats.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import statistics
-import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

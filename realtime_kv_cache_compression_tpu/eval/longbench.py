@@ -19,7 +19,6 @@ TPU-native differences:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence

@@ -15,7 +15,7 @@ import re
 import string
 import time
 from collections import Counter
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ and restore with orbax — sharding-aware on restore (pass the target mesh via
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

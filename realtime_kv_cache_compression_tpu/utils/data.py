@@ -20,7 +20,7 @@ import json
 import os
 import random
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 # ---------------------------------------------------------------------------
 # Task registry (data_utils.py:12-104 + longbench_eval.py:20-31)
