@@ -72,7 +72,7 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
     o_ref = refs[-1]
     refs = refs[:-1]
     q = q_ref[0, 0].astype(jnp.float32)          # [rep, d]
-    qpos = qpos_ref[0, 0]
+    qpos = qpos_ref[0]                           # [1, 1] (broadcasts)
 
     rep, d = q.shape
     m = jnp.full((rep, 1), -jnp.inf, jnp.float32)
@@ -86,11 +86,11 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
         idx += 7
         k = _unpack_dequant(k_s[0, 0], k_sc[0, 0], k_zp[0, 0], bits, n_tokens)
         v = _unpack_dequant(v_s[0, 0], v_sc[0, 0], v_zp[0, 0], bits, n_tokens)
-        blocks.append((k, v, pos[:, :]))         # pos: [1, N]
+        blocks.append((k, v, pos[0]))            # pos: [1, N]
     if recent_cap:
         rk, rv, rpos = refs[idx:idx + 3]
         blocks.append((rk[0, 0].astype(jnp.float32),
-                       rv[0, 0].astype(jnp.float32), rpos[:, :]))
+                       rv[0, 0].astype(jnp.float32), rpos[0]))
 
     for k, v, pos in blocks:
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -140,10 +140,11 @@ def fused_decode_attention(
     if rep != n_rep:
         q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rep - n_rep), (0, 0)))
 
-    inputs: List[Array] = [q_pos.astype(jnp.int32), q_r]
+    # Batch-varying scalars/vectors get a singleton middle axis so the block
+    # equals the array on the last two dims (Mosaic tile rule at B > 1).
+    inputs: List[Array] = [q_pos.astype(jnp.int32)[:, :, None], q_r]
     in_specs = [
-        pl.BlockSpec((1, 1), lambda bi, hi: (bi, 0),
-                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda bi, hi: (bi, 0, 0)),
         pl.BlockSpec((1, 1, rep, d), lambda bi, hi: (bi, hi, 0, 0)),
     ]
     # Mosaic requires the last two block dims to be tile-aligned or equal to
@@ -175,9 +176,9 @@ def fused_decode_attention(
         ):
             inputs.append(arr)
             in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, hi, 0, 0)))
-        inputs.append(masked_pos)
-        in_specs.append(pl.BlockSpec((1, masked_pos.shape[1]),
-                                     lambda bi, hi: (bi, 0)))
+        inputs.append(masked_pos[:, None, :])
+        in_specs.append(pl.BlockSpec((1, 1, masked_pos.shape[1]),
+                                     lambda bi, hi: (bi, 0, 0)))
 
     recent_cap = recent.capacity
     if recent_cap:
@@ -187,8 +188,9 @@ def fused_decode_attention(
                          (hm(recent.v), (1, 1, recent_cap, d))):
             inputs.append(arr)
             in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, hi, 0, 0)))
-        inputs.append(r_pos)
-        in_specs.append(pl.BlockSpec((1, recent_cap), lambda bi, hi: (bi, 0)))
+        inputs.append(r_pos[:, None, :])
+        in_specs.append(pl.BlockSpec((1, 1, recent_cap),
+                                     lambda bi, hi: (bi, 0, 0)))
 
     kernel = functools.partial(_decode_kernel, sm_scale=sm_scale,
                                tier_meta=tuple(tier_meta),
