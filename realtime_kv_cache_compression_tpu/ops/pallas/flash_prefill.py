@@ -91,8 +91,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-30))
-        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+        lse = m_scr[...][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)  # [bq, 1]
 
 
 def _flash_attention_bhsd(
@@ -124,12 +124,12 @@ def _flash_attention_bhsd(
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+            pl.BlockSpec((1, 1, block_q, 1),
                          lambda b, h, qi, ki: (b, h, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, s, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
