@@ -118,8 +118,11 @@ def compress_layer_kv(
         jnp.full(sel.indices[2].shape, LOW),
     ], axis=-1)
     kept_valid = jnp.concatenate(sel.valid, axis=-1)
+    orig_tokens = (token_valid.sum() if token_valid is not None
+                   else batch * seq_len)
     mem = memory_report(kept_labels, kept_valid, cfg,
-                        head_dim * num_kv_heads)
+                        head_dim * num_kv_heads,
+                        original_tokens=orig_tokens)
 
     kept = sel.kept_mask.sum(axis=-1)
     true_len = (token_valid.sum(axis=-1) if token_valid is not None

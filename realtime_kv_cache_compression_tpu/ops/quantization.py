@@ -240,17 +240,20 @@ def storage_bytes(shape_tokens: int, head_dim: int, num_kv_heads: int,
 
 
 def memory_report(labels: Array, valid: Array, cfg: CompressionConfig,
-                  head_dim: int) -> Dict[str, Array]:
+                  head_dim: int, original_tokens=None) -> Dict[str, Array]:
     """Per-tier element counts and compressed/original byte ratio.
 
     Semantics of dynamic_quantization.py:198-241 (fp16 reference baseline),
-    computed from actually-stored tokens.
+    computed from actually-stored tokens. `original_tokens` is the true
+    pre-compression token count (defaults to the slot count, which
+    *understates* savings — callers should pass batch * seq_len).
     """
     lab = jnp.where(valid, labels, -1)
     n_high = (lab == HIGH).sum()
     n_mid = (lab == MID).sum()
     n_low = (lab == LOW).sum()
-    total_tokens = labels.shape[-1] * labels.shape[0]
+    total_tokens = (original_tokens if original_tokens is not None
+                    else labels.shape[-1] * labels.shape[0])
     original_bytes = total_tokens * head_dim * 2.0
     compressed_bytes = (
         n_high * head_dim * cfg.tier_bits(HIGH) / 8.0
