@@ -233,9 +233,14 @@ def prefill_compressed(
     return logits, state, all_stats
 
 
-def forward_logits(params: Params, input_ids: Array,
-                   cfg: ModelConfig) -> Array:
-    """All-position logits [B, S, V] (no KV cache; training/eval scoring)."""
+def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
+                   use_flash: bool = False) -> Array:
+    """All-position logits [B, S, V] (no KV cache; training/eval scoring).
+
+    With use_flash=True, attention runs through JAX's library flash kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention), which carries a
+    custom VJP — so training scales past dense-attention context lengths.
+    """
     b, s = input_ids.shape
     h = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
@@ -245,7 +250,21 @@ def forward_logits(params: Params, input_ids: Array,
         q, k, v = _qkv(layer, x, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn_out, _ = prefill_attention_with_prompt_mass(q, k, v, 1)
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+            from ..ops.attention import repeat_kv
+
+            n_rep = cfg.num_heads // cfg.num_kv_heads
+            attn_out = fa.flash_attention(
+                q.transpose(0, 2, 1, 3),
+                repeat_kv(k, n_rep).transpose(0, 2, 1, 3),
+                repeat_kv(v, n_rep).transpose(0, 2, 1, 3),
+                causal=True,
+                sm_scale=cfg.head_dim ** -0.5,
+            ).transpose(0, 2, 1, 3)
+        else:
+            attn_out, _ = prefill_attention_with_prompt_mass(q, k, v, 1)
         h = h + attn_out.reshape(b, s, cfg.q_dim) @ layer["wo"]
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
     return logits_from_hidden(params, h, cfg)

@@ -20,9 +20,11 @@ from .llama import forward_logits
 Params = Dict[str, Any]
 
 
-def lm_loss(params: Params, input_ids: jax.Array, cfg: ModelConfig) -> jax.Array:
+def lm_loss(params: Params, input_ids: jax.Array, cfg: ModelConfig,
+            use_flash: bool = False) -> jax.Array:
     """Mean next-token cross-entropy over the sequence."""
-    logits = forward_logits(params, input_ids, cfg).astype(jnp.float32)
+    logits = forward_logits(params, input_ids, cfg,
+                            use_flash=use_flash).astype(jnp.float32)
     targets = input_ids[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -34,9 +36,11 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
 
 
 def train_step(params: Params, opt_state, input_ids: jax.Array,
-               cfg: ModelConfig, optimizer) -> Tuple[Params, Any, jax.Array]:
+               cfg: ModelConfig, optimizer,
+               use_flash: bool = False) -> Tuple[Params, Any, jax.Array]:
     """One SPMD training step; grads/updates follow the params sharding."""
-    loss, grads = jax.value_and_grad(lm_loss)(params, input_ids, cfg)
+    loss, grads = jax.value_and_grad(lm_loss)(params, input_ids, cfg,
+                                              use_flash)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
