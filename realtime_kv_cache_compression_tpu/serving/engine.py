@@ -84,6 +84,7 @@ class ServingEngine:
         self._prefill = jax.jit(lambda p, i, n: llama.prefill_compressed(
             p, i, mcfg, ccfg, max_decode_len=max_new_tokens,
             use_flash=use_flash, lengths=n))
+        self._insert = jax.jit(_tree_insert)  # one dispatch, not hundreds
         # Multi-step batched decode; returns per-step tokens for all slots.
         self._decode = jax.jit(lambda p, t, s: llama.decode_loop(
             p, t, s, decode_chunk, mcfg, ccfg,
@@ -135,9 +136,12 @@ class ServingEngine:
         ids, lengths = self._bucket_ids(req.input_ids)
         logits, state1, stats = self._prefill(self.params, ids, lengths)
         first_tok = jnp.argmax(logits, axis=-1)  # [1]
+        tok0 = int(first_tok[0])  # forces prefill completion
         req.ttft = time.time() - t0
-        req.prefill_stats = summarize_layer_stats(stats)
-        req.tokens.append(int(first_tok[0]))
+        # Keep stats on device; summarize lazily at completion (a ~30 ms-RTT
+        # relay makes eager per-layer syncing cost seconds per request).
+        req.prefill_stats = stats
+        req.tokens.append(tok0)
 
         if self._state is None:
             # Materialize the batched state by broadcasting the first
@@ -146,7 +150,7 @@ class ServingEngine:
                 lambda x: jnp.concatenate([x] * self.num_slots, axis=0),
                 state1)
             self._last_tokens = jnp.zeros((self.num_slots,), jnp.int32)
-        self._state = _tree_insert(self._state, state1, slot)
+        self._state = self._insert(self._state, state1, slot)
         self._last_tokens = self._last_tokens.at[slot].set(first_tok[0])
         self._slots[slot] = req
         self._slot_budget[slot] = req.max_new_tokens - 1
@@ -159,6 +163,8 @@ class ServingEngine:
         if req is not None:
             req.finished = True
             req.finished_at = time.time()
+            if isinstance(req.prefill_stats, list):  # device stats → floats
+                req.prefill_stats = summarize_layer_stats(req.prefill_stats)
             self.completed[req.rid] = req
         self._slots[slot] = None
         self._active_mask[slot] = False
