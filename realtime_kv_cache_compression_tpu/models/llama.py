@@ -345,8 +345,10 @@ def decode_step(
             from ..ops.pallas.decode_attention import fused_decode_attention
             attn_out = fused_decode_attention(q, cache, recent, q_pos, ccfg)
         else:
+            # Dequantize straight to the compute dtype: bf16 K/V stream at
+            # half the HBM bandwidth of f32 into the attention matmuls.
             k_c, v_c, pos_c, valid_c = dequantize_layer_cache(cache, ccfg,
-                                                              jnp.float32)
+                                                              q.dtype)
             rec_valid = (jnp.arange(recent.capacity)[None]
                          < recent.length[:, None])
             k_all = jnp.concatenate([k_c.astype(q.dtype), recent.k], axis=1)

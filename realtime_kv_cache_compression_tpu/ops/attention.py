@@ -106,14 +106,16 @@ def attention_over_tokens(
     k = repeat_kv(k, n_rep)
     v = repeat_kv(v, n_rep)
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                        k.astype(jnp.float32)) * scale
+    # bf16 operands stream at half the bandwidth; accumulate in f32 on the MXU.
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
     mask = k_valid[:, None, :] & (k_positions[:, None, :]
                                   <= q_positions[:, :, None])  # [B, Sq, N]
     logits = jnp.where(mask[:, None], logits, NEG_INF)
     attn = jax.nn.softmax(logits, axis=-1)
     # Guard fully-masked rows (no valid keys): output zeros, not NaNs.
     any_valid = mask.any(axis=-1)[:, None, :, None]
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     out = jnp.where(jnp.swapaxes(any_valid, 1, 2), out, 0.0)
     return out.astype(q.dtype)
