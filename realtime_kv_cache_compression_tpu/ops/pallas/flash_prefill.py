@@ -1,21 +1,20 @@
-"""Pallas (Mosaic TPU) causal flash attention with LSE residual, plus the
-exact prompt-mass side-channel.
+"""Pallas (Mosaic TPU) causal flash attention with an in-kernel prompt-mass
+side-channel.
 
 This replaces the reference's prefill attention, which materializes the full
 [B, H, S, S] score matrix (modified_llama.py:88-94) so the importance scorer
-can slice prompt columns (token_importance.py:41-45). Here:
-
-1. `_flash_kernel` computes O = softmax(QK^T/√d)V blockwise with the online
-   softmax (never materializing S×S), and additionally emits the per-row
-   log-sum-exp  lse_i = m_i + log(l_i).
-2. The prompt attention mass  A_P,i = mean_h Σ_{j<P} softmax(s)_ij  is then
-   recovered *exactly* outside the kernel from one small matmul over the
-   first P ≤ 128 prompt columns:  Σ_j exp(q_i·k_j·scale − lse_i). This costs
-   O(S·P·D) — ~P/S of one attention pass — and XLA fuses it; numerics match
-   the in-kernel softmax bit-for-bit up to fp32 rounding.
+can slice prompt columns (token_importance.py:41-45). Here the kernel
+computes O = softmax(QK^T/√d)V blockwise with the online softmax (never
+materializing S×S) and *simultaneously* accumulates the prompt attention
+mass  A_P,i = Σ_{j<P, j<=i} softmax(s)_ij  as a fourth running statistic
+(SURVEY.md §7.3 hard part #1): the per-row mass accumulator is rescaled by
+the same exp(m_old − m_new) correction as the softmax denominator, so the
+result is exact. Per-row dynamic prompt lengths (ragged batches) are
+supported via a prefetched [B] length vector.
 
 GQA is native: kv heads are indexed as h // (H_q / H_kv) in the BlockSpecs —
-no materialized head repetition.
+no materialized head repetition. The kernel also emits the log-sum-exp
+residual (one lane per row) for downstream use.
 """
 
 from __future__ import annotations
@@ -38,8 +37,8 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                  m_scr, l_scr, acc_scr,
+def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
+                  m_scr, l_scr, acc_scr, pmass_scr,
                   *, sm_scale: float, block_q: int, block_k: int,
                   kv_blocks: int):
     q_idx = pl.program_id(2)
@@ -50,6 +49,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        pmass_scr[...] = jnp.zeros_like(pmass_scr)
 
     # Causal block skip: run only if the block's first column can be visible
     # to the block's last row.
@@ -78,6 +78,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
+        # Prompt-mass side-channel: same running-rescale as l, but summing
+        # only prompt columns (col < P_b, causality already applied to p via
+        # the mask value making exp ≈ 0).
+        plen = plen_ref[0]                                # [1, 1]
+        pmask = col_ids < plen                            # [bq, bk]
+        contrib = jnp.sum(jnp.where(pmask, p, 0.0), axis=1, keepdims=True)
+        pmass_next = alpha * pmass_scr[...][:, :1] + contrib
+        pmass_scr[...] = jnp.broadcast_to(pmass_next, pmass_scr.shape)
+
         v = v_ref[0, 0].astype(jnp.float32)               # [bk, d]
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p, v, preferred_element_type=jnp.float32)
@@ -92,16 +101,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         lse = m_scr[...][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0, 0] = lse.astype(lse_ref.dtype)  # [bq, 1]
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)          # [bq, 1]
+        pm_ref[0, 0] = (pmass_scr[...][:, :1] * l_inv).astype(pm_ref.dtype)
 
 
 def _flash_attention_bhsd(
-    q: Array, k: Array, v: Array, *, sm_scale: float,
+    q: Array, k: Array, v: Array, plens: Array, *, sm_scale: float,
     block_q: int, block_k: int, interpret: bool,
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """Causal flash attention on [B, H, S, D] tensors (S divisible by blocks).
 
-    Returns (o [B,Hq,S,D], lse [B,Hq,S]).
+    plens: [B, 1, 1] int32 per-row prompt lengths.
+    Returns (o [B,Hq,S,D], lse [B,Hq,S], pmass [B,Hq,S]).
     """
     b, hq, s, d = q.shape
     hkv = k.shape[1]
@@ -112,10 +123,11 @@ def _flash_attention_bhsd(
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
         kv_blocks=nkv)
-    o, lse = pl.pallas_call(
+    o, lse, pm = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda b, h, qi, ki: (b, 0, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d),
                          lambda b, h, qi, ki: (b, h // n_rep, ki, 0)),
@@ -126,23 +138,27 @@ def _flash_attention_bhsd(
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1),
                          lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, h, qi, ki: (b, h, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
-    return o, lse[..., 0]
+    )(plens, q, k, v)
+    return o, lse[..., 0], pm[..., 0]
 
 
 def flash_prefill_with_prompt_mass(
@@ -155,26 +171,27 @@ def flash_prefill_with_prompt_mass(
     interpret: Optional[bool] = None,
     prompt_lens: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
-    """Causal flash attention + prompt attention-mass side-channel.
+    """Causal flash attention + in-kernel prompt attention-mass side-channel.
 
     Drop-in replacement for
     `ops.attention.prefill_attention_with_prompt_mass` (same contract):
 
     Args:
       q: [B, S, H_q, D]; k, v: [B, S, H_kv, D].
-      prompt_len: static prompt prefix length P (P <= 128 recommended; any P
-        works but the side-channel pass costs O(S·P·D)).
-      block_q/block_k: tile sizes. Defaults (512, 1024) measured fastest on
-        TPU v5e at S=4096, d=64 (experiments/kernel_autotune.py sweep:
-        0.74 ms vs 5.38 ms at 256x256).
+      prompt_len: static prompt prefix length P (upper bound for ragged
+        batches).
+      prompt_lens: optional [B] dynamic per-row prompt lengths <= P.
+      block_q/block_k: tile sizes (powers of two). Defaults (512, 1024)
+        measured fastest on TPU v5e at S=4096, d=64
+        (experiments/kernel_autotune.py sweep: 0.74 ms vs 5.38 ms at
+        256x256).
 
     Returns:
-      out: [B, S, H_q, D]; prompt_mass: [B, S] float32.
+      out: [B, S, H_q, D]; prompt_mass: [B, S] float32 (head-averaged).
     """
     if interpret is None:
         interpret = _interpret_default()
     b, s, hq, d = q.shape
-    hkv = k.shape[2]
     sm_scale = 1.0 / (d ** 0.5)
 
     qt = q.transpose(0, 2, 1, 3)
@@ -195,23 +212,15 @@ def flash_prefill_with_prompt_mass(
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
-    o, lse = _flash_attention_bhsd(qt, kt, vt, sm_scale=sm_scale,
-                                   block_q=block_q, block_k=block_k,
-                                   interpret=interpret)
-    o = o[:, :, :s]
-    lse = lse[:, :, :s]
+    if prompt_lens is None:
+        plens = jnp.full((b, 1, 1), prompt_len, jnp.int32)
+    else:
+        plens = prompt_lens.astype(jnp.int32).reshape(b, 1, 1)
 
-    # Exact side-channel: Σ_{j<P, j<=i} exp(q_i·k_j·scale − lse_i), head-mean.
-    # The prompt slice is tiny (P <= 128), so GQA head expansion is cheap.
-    k_prompt = jnp.repeat(kt[:, :, :prompt_len].astype(jnp.float32),
-                          hq // hkv, axis=1)
-    s_p = jnp.einsum("bhqd,bhpd->bhqp", qt[:, :, :s].astype(jnp.float32),
-                     k_prompt) * sm_scale
-    q_pos = jnp.arange(s)[None, None, :, None]
-    p_pos = jnp.arange(prompt_len)[None, None, None, :]
-    col_ok = p_pos <= q_pos
-    if prompt_lens is not None:
-        col_ok &= p_pos < prompt_lens[:, None, None, None]
-    mass = jnp.where(col_ok,
-                     jnp.exp(s_p - lse[..., None]), 0.0).sum(-1)  # [B,Hq,S]
-    return o.transpose(0, 2, 1, 3), mass.mean(axis=1)
+    o, _lse, pm = _flash_attention_bhsd(qt, kt, vt, plens,
+                                        sm_scale=sm_scale,
+                                        block_q=block_q, block_k=block_k,
+                                        interpret=interpret)
+    o = o[:, :, :s]
+    pm = pm[:, :, :s]
+    return o.transpose(0, 2, 1, 3), pm.mean(axis=1)
