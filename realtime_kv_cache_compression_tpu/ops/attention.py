@@ -102,20 +102,22 @@ def attention_over_tokens(
       [B, Sq, H_q, D] attention output.
     """
     b, sq, hq, d = q.shape
-    n_rep = hq // k.shape[2]
-    k = repeat_kv(k, n_rep)
-    v = repeat_kv(v, n_rep)
+    hkv = k.shape[2]
+    n_rep = hq // hkv
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    # bf16 operands stream at half the bandwidth; accumulate in f32 on the MXU.
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    # Grouped-query einsum: K/V stay at H_kv heads — never materialize the
+    # n_rep-repeated copies (at 32K context that repetition alone is GBs of
+    # HBM traffic per decode step). bf16 operands, f32 accumulation.
+    q5 = q.reshape(b, sq, hkv, n_rep, d)
+    logits = jnp.einsum("bqhrd,bkhd->bhrqk", q5, k,
                         preferred_element_type=jnp.float32) * scale
     mask = k_valid[:, None, :] & (k_positions[:, None, :]
                                   <= q_positions[:, :, None])  # [B, Sq, N]
-    logits = jnp.where(mask[:, None], logits, NEG_INF)
+    logits = jnp.where(mask[:, None, None], logits, NEG_INF)
     attn = jax.nn.softmax(logits, axis=-1)
-    # Guard fully-masked rows (no valid keys): output zeros, not NaNs.
-    any_valid = mask.any(axis=-1)[:, None, :, None]
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v,
+    out = jnp.einsum("bhrqk,bkhd->bqhrd", attn.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
-    out = jnp.where(jnp.swapaxes(any_valid, 1, 2), out, 0.0)
-    return out.astype(q.dtype)
+    # Guard fully-masked rows (no valid keys): output zeros, not NaNs.
+    any_valid = mask.any(axis=-1)[:, :, None, None, None]  # [B, Sq, 1, 1, 1]
+    out = jnp.where(any_valid, out, 0.0)
+    return out.reshape(b, sq, hq, d).astype(q.dtype)

@@ -80,12 +80,16 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
 
         # Prompt-mass side-channel: same running-rescale as l, but summing
         # only prompt columns (col < P_b, causality already applied to p via
-        # the mask value making exp ≈ 0).
+        # the mask value making exp ≈ 0). The rescale-by-alpha must run on
+        # every block; the column sum only where the block overlaps the
+        # prompt prefix.
         plen = plen_ref[0]                                # [1, 1]
-        pmask = col_ids < plen                            # [bq, bk]
+        pmass_prev = pmass_scr[...][:, :1]
+        in_prompt_block = kv_idx * block_k < plen[0, 0]
+        pmask = (col_ids < plen) & in_prompt_block
         contrib = jnp.sum(jnp.where(pmask, p, 0.0), axis=1, keepdims=True)
-        pmass_next = alpha * pmass_scr[...][:, :1] + contrib
-        pmass_scr[...] = jnp.broadcast_to(pmass_next, pmass_scr.shape)
+        pmass_scr[...] = jnp.broadcast_to(alpha * pmass_prev + contrib,
+                                          pmass_scr.shape)
 
         v = v_ref[0, 0].astype(jnp.float32)               # [bk, d]
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
