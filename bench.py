@@ -57,7 +57,7 @@ def measure_rtt() -> float:
 
 def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
                 use_flash: bool, compare_uncompressed: bool, reps: int = 3,
-                use_fused_decode: bool = False):
+                use_fused_decode: bool = False, weight_bits: int = 16):
     from realtime_kv_cache_compression_tpu.compression import (
         summarize_layer_stats)
     from realtime_kv_cache_compression_tpu.models import llama
@@ -72,7 +72,13 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
         f"flash={use_flash}")
 
     params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
-    log(f"params: {model_footprint_mb(params):.0f} MB")
+    if weight_bits == 8:
+        from realtime_kv_cache_compression_tpu.models.quantized_params import (
+            quantize_params)
+
+        params = jax.jit(quantize_params)(params)
+    log(f"params: {model_footprint_mb(params):.0f} MB "
+        f"(weights {weight_bits}-bit)")
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq_len), 0,
                              mcfg.vocab_size)
 
@@ -166,6 +172,9 @@ def main():
                     choices=["tinyllama", "llama2-7b", "mistral-7b"])
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
+    ap.add_argument("--weight-bits", type=int, default=16, choices=[8, 16],
+                    help="8 = weight-only int8 quantization (halves weight "
+                         "HBM footprint and decode floor)")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fused-decode", action="store_true",
                     help="use the fused Pallas dequant-attention decode "
@@ -199,7 +208,8 @@ def main():
         res = bench_model(mcfg, ccfg, args.seq, args.new_tokens, args.batch,
                           use_flash,
                           compare_uncompressed=not args.no_baseline_arm,
-                          use_fused_decode=args.fused_decode)
+                          use_fused_decode=args.fused_decode,
+                          weight_bits=args.weight_bits)
     except Exception as e:  # pallas path may not be available everywhere
         if not use_flash and not args.fused_decode:
             raise
@@ -207,7 +217,8 @@ def main():
             f"without kernels")
         res = bench_model(mcfg, ccfg, args.seq, args.new_tokens, args.batch,
                           False,
-                          compare_uncompressed=not args.no_baseline_arm)
+                          compare_uncompressed=not args.no_baseline_arm,
+                          weight_bits=args.weight_bits)
 
     reference_compressed_tok_s = 3.6  # BASELINE.md, same 4096-token context
     print(json.dumps({

@@ -84,6 +84,32 @@ def init_params(key: Array, cfg: ModelConfig) -> Params:
 # Building blocks
 # ---------------------------------------------------------------------------
 
+def _matmul(x: Array, w) -> Array:
+    """x @ w for raw or int8-quantized weights.
+
+    For `QuantizedTensor` (axis=1, per-out-channel), the int8 operand is
+    converted inside the dot's operand stream — XLA:TPU fuses the convert so
+    the weight reads HBM at 1 byte/element — then the f32 scale is applied
+    to the [..., out] result.
+    """
+    from .quantized_params import QuantizedTensor
+
+    if isinstance(w, QuantizedTensor):
+        y = jnp.dot(x, w.q.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * w.scale[None, :]).astype(x.dtype)
+    return x @ w
+
+
+def _embed_lookup(embed, input_ids: Array, dtype) -> Array:
+    from .quantized_params import QuantizedTensor
+
+    if isinstance(embed, QuantizedTensor):
+        rows = embed.q[input_ids].astype(jnp.float32)
+        return (rows * embed.scale[input_ids][..., None]).astype(dtype)
+    return embed[input_ids].astype(dtype)
+
+
 def rmsnorm(x: Array, w: Array, eps: float) -> Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -113,21 +139,29 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
 def _qkv(layer: Params, x: Array, cfg: ModelConfig
          ) -> Tuple[Array, Array, Array]:
     b, s, _ = x.shape
-    q = (x @ layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = (x @ layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = (x @ layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = _matmul(x, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = _matmul(x, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = _matmul(x, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
 
 
 def _mlp(layer: Params, x: Array) -> Array:
-    return (jax.nn.silu(x @ layer["w_gate"]) * (x @ layer["w_up"])) @ layer["w_down"]
+    return _matmul(jax.nn.silu(_matmul(x, layer["w_gate"]))
+                   * _matmul(x, layer["w_up"]), layer["w_down"])
 
 
 def logits_from_hidden(params: Params, h: Array, cfg: ModelConfig) -> Array:
+    from .quantized_params import QuantizedTensor
+
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
-        return h @ params["embed"].T
-    return h @ params["lm_head"]
+        embed = params["embed"]
+        if isinstance(embed, QuantizedTensor):
+            y = jnp.dot(h, embed.q.T.astype(h.dtype),
+                        preferred_element_type=jnp.float32)
+            return (y * embed.scale[None, :]).astype(h.dtype)
+        return h @ embed.T
+    return _matmul(h, params["lm_head"])
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +210,7 @@ def prefill_compressed(
     """
     b, s = input_ids.shape
     prompt_len = ccfg.prompt_length(s)
-    h = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
+    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype))
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     if lengths is not None:
         token_valid = positions < lengths[:, None]
@@ -216,7 +250,7 @@ def prefill_compressed(
                 q, k_d.astype(q.dtype), v_d.astype(q.dtype), pos_c, valid,
                 positions)
 
-        h = h + attn_out.reshape(b, s, cfg.q_dim) @ layer["wo"]
+        h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
         x2 = rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps)
         h = h + _mlp(layer, x2)
 
@@ -242,7 +276,7 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
     custom VJP — so training scales past dense-attention context lengths.
     """
     b, s = input_ids.shape
-    h = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
+    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype))
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     for layer in params["layers"]:
@@ -265,7 +299,7 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
             ).transpose(0, 2, 1, 3)
         else:
             attn_out, _ = prefill_attention_with_prompt_mass(q, k, v, 1)
-        h = h + attn_out.reshape(b, s, cfg.q_dim) @ layer["wo"]
+        h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
     return logits_from_hidden(params, h, cfg)
 
@@ -282,7 +316,7 @@ def prefill_uncompressed(
     right-padded ragged batches gather logits at the true last position
     (padding keys are isolated by causality; decode overwrites pad slots)."""
     b, s = input_ids.shape
-    h = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
+    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype))
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     ks, vs = [], []
@@ -294,7 +328,7 @@ def prefill_uncompressed(
         attn_out, _ = _prefill_attention(q, k, v, 1, use_flash)
         ks.append(k)
         vs.append(v)
-        h = h + attn_out.reshape(b, s, cfg.q_dim) @ layer["wo"]
+        h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
     if lengths is not None:
         last_h = jnp.take_along_axis(
@@ -326,7 +360,7 @@ def decode_step(
     Returns (logits [B, V], updated state).
     """
     b = token.shape[0]
-    h = params["embed"][token][:, None].astype(jnp.dtype(cfg.dtype))  # [B,1,H]
+    h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype))[:, None]  # [B,1,H]
     q_pos = state.position[:, None]  # [B, 1]
     cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
 
@@ -358,7 +392,7 @@ def decode_step(
             attn_out = attention_over_tokens(q, k_all, v_all, pos_all,
                                              valid_all, q_pos)
 
-        h = h + attn_out.reshape(b, 1, cfg.q_dim) @ layer["wo"]
+        h = h + _matmul(attn_out.reshape(b, 1, cfg.q_dim), layer["wo"])
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
 
     logits = logits_from_hidden(params, h[:, 0], cfg)
@@ -411,7 +445,7 @@ def decode_step_uncompressed(
     b = token.shape[0]
     ks, vs = kv
     m = ks.shape[2]
-    h = params["embed"][token][:, None].astype(jnp.dtype(cfg.dtype))
+    h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype))[:, None]
     q_pos = position[:, None]
     cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
     pos_all = jnp.broadcast_to(jnp.arange(m)[None], (b, m))
@@ -429,7 +463,7 @@ def decode_step_uncompressed(
         valid = pos_all <= q_pos
         attn_out = attention_over_tokens(q, k_cache, v_cache, pos_all, valid,
                                          q_pos)
-        h = h + attn_out.reshape(b, 1, cfg.q_dim) @ layer["wo"]
+        h = h + _matmul(attn_out.reshape(b, 1, cfg.q_dim), layer["wo"])
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
     logits = logits_from_hidden(params, h[:, 0], cfg)
     return logits, (jnp.stack(new_ks), jnp.stack(new_vs)), position + 1
