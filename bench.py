@@ -76,7 +76,8 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
         from realtime_kv_cache_compression_tpu.models.quantized_params import (
             quantize_params)
 
-        params = jax.jit(quantize_params)(params)
+        # Donate the fp params: without it both copies coexist (19 GB at 7B).
+        params = jax.jit(quantize_params, donate_argnums=0)(params)
     log(f"params: {model_footprint_mb(params):.0f} MB "
         f"(weights {weight_bits}-bit)")
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq_len), 0,

@@ -146,9 +146,18 @@ def main():
                                    low_precision_bits=2),
         "position_only_scores": cc(alpha=0.0, beta=0.85, gamma=0.15),
     }
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params)
+
+    qparams = quantize_params(params)
+    arm_params = {name: params for name in arms}
+    # Full-stack quantization arm: int8 weights AND 8/4/2-bit compressed KV.
+    arms["balanced_int8_weights"] = cc()
+    arm_params["balanced_int8_weights"] = qparams
+
     results = {}
     for name, ccfg in arms.items():
-        r = recall_accuracy(params, mcfg, ccfg, args.eval_samples,
+        r = recall_accuracy(arm_params[name], mcfg, ccfg, args.eval_samples,
                             args.payload, args.filler, sep)
         results[name] = r
         comp = r.pop("compression", None)
