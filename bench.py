@@ -74,10 +74,11 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
     params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
     if weight_bits == 8:
         from realtime_kv_cache_compression_tpu.models.quantized_params import (
-            quantize_params)
+            quantize_params_streaming)
 
-        # Donate the fp params: without it both copies coexist (19 GB at 7B).
-        params = jax.jit(quantize_params, donate_argnums=0)(params)
+        # Streaming: frees each fp weight as its int8 replacement exists
+        # (the jit/donate variant still peaked over HBM at 7B).
+        params = quantize_params_streaming(params)
     log(f"params: {model_footprint_mb(params):.0f} MB "
         f"(weights {weight_bits}-bit)")
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq_len), 0,

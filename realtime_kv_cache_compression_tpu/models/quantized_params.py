@@ -78,6 +78,31 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def quantize_params_streaming(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Like `quantize_params`, but CONSUMES the input tree: each fp weight is
+    freed as soon as its int8 replacement exists, so peak HBM is
+    fp_total + one tensor instead of fp_total + int8_total. Use when the fp
+    params barely fit (e.g. Llama-2-7B bf16 = 12.9 GB on a 16 GB chip)."""
+    out: Dict[str, Any] = {"layers": []}
+    out["embed"] = quantize_tensor(params["embed"], axis=0)
+    params["embed"] = None
+    out["final_norm"] = params.pop("final_norm")
+    if "lm_head" in params:
+        out["lm_head"] = quantize_tensor(params["lm_head"], axis=1)
+        params["lm_head"] = None
+    layers = params["layers"]
+    for i in range(len(layers)):
+        layer = layers[i]
+        ql = {}
+        for k in list(layer.keys()):
+            v = layer.pop(k)
+            ql[k] = quantize_tensor(v, axis=1) if k in _MATMUL_KEYS else v
+            del v
+        layers[i] = None
+        out["layers"].append(ql)
+    return out
+
+
 def params_bytes(params: Any) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(params))
