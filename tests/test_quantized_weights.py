@@ -57,6 +57,22 @@ def test_quantized_forward_close_and_generates(rng):
     assert len(stats) == 2
 
 
+def test_streaming_quantize_equals_batch(rng):
+    cfg = tiny_test_model(num_layers=2)
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params_streaming)
+
+    p1 = llama.init_params(jax.random.PRNGKey(0), cfg)
+    p2 = llama.init_params(jax.random.PRNGKey(0), cfg)
+    q1 = quantize_params(p1)
+    q2 = quantize_params_streaming(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(q1),
+                    jax.tree_util.tree_leaves(q2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The consumed tree's weights were freed.
+    assert p2["embed"] is None and p2["layers"][0] is None
+
+
 def test_quantized_decode_matches_quantized_prefill(rng):
     """Compressed prefill+decode runs end-to-end on quantized params and
     stays consistent with itself."""

@@ -75,6 +75,29 @@ def test_ragged_decode_matches_unpadded():
     np.testing.assert_allclose(np.asarray(l_r), np.asarray(l_1), atol=2e-4)
 
 
+def test_ragged_flash_matches_ragged_dense():
+    """Ragged prefill through the Pallas kernel (per-row prompt lengths in
+    kernel) == ragged dense path."""
+    cfg, ccfg, params = setup()
+    rng = np.random.default_rng(6)
+    padded = np.zeros((2, 64), np.int32)
+    padded[0, :48] = rng.integers(1, 250, size=48)
+    padded[1, :32] = rng.integers(1, 250, size=32)
+    lengths = jnp.asarray([48, 32], jnp.int32)
+    l_d, s_d, st_d = llama.prefill_compressed(
+        params, jnp.asarray(padded), cfg, ccfg, max_decode_len=4,
+        lengths=lengths, use_flash=False)
+    l_f, s_f, st_f = llama.prefill_compressed(
+        params, jnp.asarray(padded), cfg, ccfg, max_decode_len=4,
+        lengths=lengths, use_flash=True)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_d), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(st_f[0]["kept_tokens"]),
+                               np.asarray(st_d[0]["kept_tokens"]))
+    for t_f, t_d in zip(s_f.caches[0].tiers, s_d.caches[0].tiers):
+        np.testing.assert_array_equal(np.asarray(t_f.positions),
+                                      np.asarray(t_d.positions))
+
+
 def test_serving_short_prompts_exact():
     """Short prompts through the engine equal standalone generation on the
     unpadded prompt (the engine pads to its bucket internally)."""
