@@ -109,6 +109,171 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
     o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
 
 
+def _segment_kernel(qpos_ref, q_ref, m_ref, l_ref, acc_ref,
+                    k_ref, v_ref, k_sc, k_zp, v_sc, v_zp, pos_ref,
+                    m_out, l_out, acc_out,
+                    *, sm_scale: float, bits: int, n_tokens: int):
+    """One pool segment's online-softmax update; state flows between calls.
+
+    Shapes per (b, h) program: q [rep, d]; m/l [rep, 1]; acc [rep, d];
+    k/v packed [R, d]; scales [n, 1]; pos [1, n].
+    """
+    q = q_ref[0, 0].astype(jnp.float32)
+    qpos = qpos_ref[0]
+    m_prev = m_ref[0, 0]
+    l_prev = l_ref[0, 0]
+    acc_prev = acc_ref[0, 0]
+
+    k = _unpack_dequant(k_ref[0, 0], k_sc[0, 0], k_zp[0, 0], bits, n_tokens)
+    v = _unpack_dequant(v_ref[0, 0], v_sc[0, 0], v_zp[0, 0], bits, n_tokens)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    s = jnp.where(pos_ref[0] <= qpos, s, NEG_INF)
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    m_out[0, 0] = m_next
+    l_out[0, 0] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    acc_out[0, 0] = acc_prev * alpha + jax.lax.dot(
+        p, v, preferred_element_type=jnp.float32)
+
+
+def _run_segment(state, qpos3, q_r, k_s, v_s, k_sc, k_zp, v_sc, v_zp,
+                 masked_pos, bits, n_tokens, sm_scale, interpret):
+    """Apply one segment update across the (B, Hkv) grid."""
+    m, l, acc = state
+    b, hkv, rep, d = q_r.shape
+    spec_bh = lambda blk: pl.BlockSpec(blk, lambda bi, hi: (bi, hi, 0, 0))
+    kernel = functools.partial(_segment_kernel, sm_scale=sm_scale, bits=bits,
+                               n_tokens=n_tokens)
+    rows = k_s.shape[2]
+    m, l, acc = pl.pallas_call(
+        kernel,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bi, hi: (bi, 0, 0)),
+            spec_bh((1, 1, rep, d)),
+            spec_bh((1, 1, rep, 1)),
+            spec_bh((1, 1, rep, 1)),
+            spec_bh((1, 1, rep, d)),
+            spec_bh((1, 1, rows, d)),
+            spec_bh((1, 1, rows, d)),
+            spec_bh((1, 1, n_tokens, 1)),
+            spec_bh((1, 1, n_tokens, 1)),
+            spec_bh((1, 1, n_tokens, 1)),
+            spec_bh((1, 1, n_tokens, 1)),
+            pl.BlockSpec((1, 1, n_tokens), lambda bi, hi: (bi, 0, 0)),
+        ],
+        out_specs=[spec_bh((1, 1, rep, 1)), spec_bh((1, 1, rep, 1)),
+                   spec_bh((1, 1, rep, d))],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, rep, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, rep, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, rep, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qpos3, q_r, m, l, acc, k_s, v_s, k_sc, k_zp, v_sc, v_zp, masked_pos)
+    return m, l, acc
+
+
+def fused_decode_attention_segmented(
+    q: Array,
+    cache: CompressedLayerCache,
+    recent: RecentCache,
+    q_pos: Array,
+    cfg: CompressionConfig,
+    interpret: Optional[bool] = None,
+    segment_tokens: int = 4096,
+) -> Array:
+    """VMEM-safe fused decode: pools processed in <= segment_tokens chunks,
+    with the online-softmax state (m, l, acc) carried between pallas calls.
+    Handles arbitrarily long compressed caches (32K+ contexts)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    b, _, hq, d = q.shape
+    hkv = recent.k.shape[2]
+    n_rep = hq // hkv
+    rep = max(n_rep, 8)
+    sm_scale = 1.0 / (d ** 0.5)
+
+    q_r = q[:, 0].reshape(b, hkv, n_rep, d)
+    if rep != n_rep:
+        q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rep - n_rep), (0, 0)))
+    q_r = q_r.astype(jnp.float32)
+    qpos3 = q_pos.astype(jnp.int32)[:, :, None]
+    hm = lambda a: jnp.transpose(a, (0, 2, 1, 3))
+
+    m = jnp.full((b, hkv, rep, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, hkv, rep, 1), jnp.float32)
+    acc = jnp.zeros((b, hkv, rep, d), jnp.float32)
+    state = (m, l, acc)
+
+    def row_segments(n_rows, per_byte):
+        """Row ranges holding <= segment_tokens tokens each."""
+        seg = max(8, (segment_tokens // per_byte // 8) * 8)
+        starts = list(range(0, n_rows, seg))
+        return [(s, min(seg, n_rows - s)) for s in starts]
+
+    for tier, t in zip((HIGH, MID, LOW), cache.tiers):
+        n = t.capacity
+        if n == 0:
+            continue
+        bits = cfg.tier_bits(tier)
+        if t.k_scale.shape[-1] != 1:
+            raise NotImplementedError("per-(token, head) scales only")
+        per_byte = 1 if bits >= 8 else 8 // bits
+        if n % per_byte:
+            raise NotImplementedError(
+                "sub-byte tier capacity must divide 8//bits (slot_align)")
+        masked_pos = jnp.where(t.valid, t.positions, POS_SENTINEL)
+        k_h, v_h = hm(t.k_stored), hm(t.v_stored)
+        ksc, kzp = hm(t.k_scale), hm(t.k_zp)
+        vsc, vzp = hm(t.v_scale), hm(t.v_zp)
+        total_rows = k_h.shape[2] if bits < 16 else n
+
+        def tok_slice(a, r0, rl, axis):
+            """Tokens covered by byte rows [r0, r0+rl): strided packing puts
+            token j*R + r in row r at shift j, so gather pb strided ranges
+            in unpack order (j-major)."""
+            if per_byte == 1:
+                return jax.lax.slice_in_dim(a, r0, r0 + rl, axis=axis)
+            parts = [jax.lax.slice_in_dim(a, j * total_rows + r0,
+                                          j * total_rows + r0 + rl,
+                                          axis=axis)
+                     for j in range(per_byte)]
+            return jnp.concatenate(parts, axis=axis)
+
+        for r0, rl in row_segments(total_rows, per_byte):
+            length = rl * per_byte
+            state = _run_segment(
+                state, qpos3, q_r,
+                jax.lax.slice_in_dim(k_h, r0, r0 + rl, axis=2),
+                jax.lax.slice_in_dim(v_h, r0, r0 + rl, axis=2),
+                tok_slice(ksc, r0, rl, 2), tok_slice(kzp, r0, rl, 2),
+                tok_slice(vsc, r0, rl, 2), tok_slice(vzp, r0, rl, 2),
+                tok_slice(masked_pos, r0, rl, 1)[:, None, :],
+                bits, length, sm_scale, interpret)
+
+    if recent.capacity:
+        r_mask = jnp.arange(recent.capacity)[None, :] < recent.length[:, None]
+        r_pos = jnp.where(r_mask, recent.positions, POS_SENTINEL)
+        g = recent.k.shape[-1]  # full head_dim group
+        ones = jnp.ones((b, hkv, recent.capacity, 1), jnp.float32)
+        zeros = jnp.zeros_like(ones)
+        state = _run_segment(
+            state, qpos3, q_r, hm(recent.k), hm(recent.v),
+            ones, zeros, ones, zeros, r_pos[:, None, :],
+            16, recent.capacity, sm_scale, interpret)
+
+    m, l, acc = state
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    out = (acc * l_inv)[:, :, :n_rep, :].reshape(b, 1, hq, d)
+    return out.astype(q.dtype)
+
+
 def fused_decode_attention(
     q: Array,
     cache: CompressedLayerCache,

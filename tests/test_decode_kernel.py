@@ -97,6 +97,37 @@ def test_fused_empty_recent(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("segment_tokens", [16, 64])
+def test_segmented_fused_matches_xla(rng, segment_tokens):
+    """Segmented (VMEM-safe) fused decode == XLA path, including multi-
+    segment pools and the recent ring."""
+    from realtime_kv_cache_compression_tpu.ops.pallas.decode_attention import (
+        fused_decode_attention_segmented)
+
+    mcfg = tiny_test_model(num_kv_heads=2, num_heads=4, head_dim=32)
+    q, cache, recent, q_pos, ccfg = build_state(rng, s=128, mcfg=mcfg)
+    ref = xla_reference(q, cache, recent, q_pos, ccfg)
+    out = fused_decode_attention_segmented(q, cache, recent, q_pos, ccfg,
+                                           interpret=True,
+                                           segment_tokens=segment_tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_segmented_fused_16bit_tier(rng):
+    from realtime_kv_cache_compression_tpu.ops.pallas.decode_attention import (
+        fused_decode_attention_segmented)
+
+    mcfg = tiny_test_model(num_kv_heads=2, num_heads=4, head_dim=32)
+    ccfg = CompressionConfig(num_layers=mcfg.num_layers,
+                             high_precision_bits=16, medium_precision_bits=8,
+                             low_precision_bits=4)
+    q, cache, recent, q_pos, ccfg = build_state(rng, mcfg=mcfg, ccfg=ccfg)
+    ref = xla_reference(q, cache, recent, q_pos, ccfg)
+    out = fused_decode_attention_segmented(q, cache, recent, q_pos, ccfg,
+                                           interpret=True, segment_tokens=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_decode_step_use_fused_matches(rng):
     """decode_step(use_fused=True) == use_fused=False through the model."""
     cfg = tiny_test_model(num_layers=2)
