@@ -295,6 +295,10 @@ def fused_decode_attention(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if cache.capacity + recent.capacity > 8192:
+        # Whole pools would overflow VMEM — use the segmented variant.
+        return fused_decode_attention_segmented(q, cache, recent, q_pos, cfg,
+                                                interpret=interpret)
     b, _, hq, d = q.shape
     hkv = recent.k.shape[2]
     n_rep = hq // hkv
