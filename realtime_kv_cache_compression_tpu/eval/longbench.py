@@ -106,10 +106,14 @@ class ModelRunner:
         prefill = self._prefill(bucket)
         step = self._decode(bucket)
 
+        # Forced scalar readback: `block_until_ready` does not synchronize
+        # through the TPU relay (see utils/timing.py).
+        sync = lambda x: float(jnp.asarray(x[:, :8], jnp.float32).sum())
+
         # Warm-up compile once per bucket (excluded from TTFT).
         if bucket not in self._warmed:
             out = prefill(self.params, ids, lengths)
-            jax.block_until_ready(out[0])
+            sync(out[0])
             self._warmed.add(bucket)
 
         t0 = time.perf_counter()
@@ -117,7 +121,7 @@ class ModelRunner:
             logits, state, stats = prefill(self.params, ids, lengths)
         else:
             logits, kv = prefill(self.params, ids, lengths)
-        jax.block_until_ready(logits)
+        sync(logits)
         ttft = time.perf_counter() - t0
 
         tok = jnp.argmax(logits, axis=-1)
@@ -134,7 +138,7 @@ class ModelRunner:
             out_tokens = jnp.concatenate([tok[:, None], rest], axis=1)
         else:
             out_tokens = tok[:, None]
-        out_tokens.block_until_ready()
+        out_tokens = jnp.asarray(jax.device_get(out_tokens))
         decode_time = time.perf_counter() - t0
         if eos_token_id is not None:
             hit = jnp.cumsum((out_tokens == eos_token_id).astype(jnp.int32),
