@@ -122,6 +122,14 @@ def load_params(args, mcfg):
 
 def main():
     args = parse_args()
+    n_mesh = args.mesh_data * args.mesh_model
+    if args.platform == "cpu" and n_mesh > 1:
+        # Virtual multi-device CPU mesh; must be set before backend init.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_mesh}"
+            ).strip()
     if args.platform:
         import jax
 

@@ -47,11 +47,26 @@ def param_specs(cfg: ModelConfig) -> Params:
     return specs
 
 
+def _feasible_spec(x, spec: P, mesh: Mesh) -> P:
+    """Drop sharded axes whose dimension is not divisible by the mesh axis
+    (e.g. a 258-entry byte-tokenizer vocab over 4 model shards) — those
+    leaves replicate on that axis instead of erroring."""
+    out = []
+    for dim, axis in zip(x.shape, tuple(spec) + (None,) * (x.ndim - len(spec))):
+        if axis is None:
+            out.append(None)
+        else:
+            size = mesh.shape[axis]
+            out.append(axis if dim % size == 0 else None)
+    return P(*out)
+
+
 def shard_params(params: Params, mesh: Mesh, cfg: ModelConfig) -> Params:
     """Place a params pytree onto the mesh with tensor-parallel sharding."""
     specs = param_specs(cfg)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _feasible_spec(x, s, mesh))),
         params, specs,
         is_leaf=lambda x: isinstance(x, P))
 
