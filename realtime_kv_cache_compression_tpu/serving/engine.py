@@ -65,7 +65,8 @@ class ServingEngine:
                  num_slots: int = 4, context_len: int = 2048,
                  max_new_tokens: int = 128, decode_chunk: int = 8,
                  use_flash: bool = False, use_fused_decode: bool = False,
-                 eos_token_id: Optional[int] = None):
+                 eos_token_id: Optional[int] = None,
+                 async_admission: bool = False):
         self.params = params
         self.mcfg = mcfg
         self.ccfg = ccfg
@@ -75,7 +76,9 @@ class ServingEngine:
         self.decode_chunk = decode_chunk
         self.eos_token_id = eos_token_id
 
+        self.async_admission = async_admission
         self._pending: deque[Request] = deque()
+        self._inflight: List = []  # (req, slot, logits, state1, stats)
         self._slots: List[Optional[Request]] = [None] * num_slots
         self._slot_budget = [0] * num_slots
         self._next_rid = 0
@@ -108,7 +111,8 @@ class ServingEngine:
         return rid
 
     def has_work(self) -> bool:
-        return bool(self._pending) or any(self._active_mask)
+        return (bool(self._pending) or bool(self._inflight)
+                or any(self._active_mask))
 
     def run(self, max_steps: int = 10_000) -> Dict[int, Request]:
         """Drive until all submitted requests complete."""
@@ -169,11 +173,57 @@ class ServingEngine:
         self._slots[slot] = None
         self._active_mask[slot] = False
 
+    # -- overlapped admission -----------------------------------------------
+
+    def _start_admission(self, req: Request, slot: int):
+        """Dispatch the prefill WITHOUT a host sync; completion is polled via
+        Array.is_ready() between decode chunks, so admissions pipeline with
+        decode instead of stalling the loop on a host round-trip."""
+        ids, lengths = self._bucket_ids(req.input_ids)
+        logits, state1, stats = self._prefill(self.params, ids, lengths)
+        self._slots[slot] = req  # reserve; not active until ready
+        self._inflight.append((req, slot, logits, state1, stats))
+
+    def _complete_admission(self, req: Request, slot: int, logits, state1,
+                            stats):
+        first_tok = jnp.argmax(logits, axis=-1)
+        tok0 = int(first_tok[0])
+        req.ttft = time.time() - req.submitted_at
+        req.prefill_stats = stats
+        req.tokens.append(tok0)
+        if self._state is None:
+            self._state = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate([x] * self.num_slots, axis=0),
+                state1)
+            self._last_tokens = jnp.zeros((self.num_slots,), jnp.int32)
+        self._state = self._insert(self._state, state1, slot)
+        self._last_tokens = self._last_tokens.at[slot].set(tok0)
+        self._slot_budget[slot] = req.max_new_tokens - 1
+        self._active_mask[slot] = True
+        if self._slot_budget[slot] <= 0:
+            self._finish(slot)
+
+    def _poll_inflight(self, force: bool = False):
+        still = []
+        for item in self._inflight:
+            req, slot, logits, state1, stats = item
+            if force or logits.is_ready():
+                self._complete_admission(req, slot, logits, state1, stats)
+            else:
+                still.append(item)
+        self._inflight = still
+
     def step(self):
         # 1) Admit pending requests into free slots.
         for slot in range(self.num_slots):
-            if not self._active_mask[slot] and self._pending:
-                self._admit(self._pending.popleft(), slot)
+            if self._slots[slot] is None and self._pending:
+                if self.async_admission:
+                    self._start_admission(self._pending.popleft(), slot)
+                else:
+                    self._admit(self._pending.popleft(), slot)
+        if self.async_admission:
+            # Nothing to decode yet → block on the oldest admission.
+            self._poll_inflight(force=not any(self._active_mask))
         if not any(self._active_mask):
             return
 

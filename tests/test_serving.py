@@ -69,6 +69,20 @@ def test_batched_tokens_match_standalone_generation(engine_parts):
     assert done[rid_a].tokens == [int(t) for t in ref[0]]
 
 
+def test_async_admission_matches_sync(engine_parts):
+    """async_admission=True produces identical tokens to the sync engine."""
+    eng_s = make_engine(engine_parts, num_slots=2)
+    eng_a = make_engine(engine_parts, num_slots=2, async_admission=True)
+    prompts = [prompt(i) for i in range(4)]
+    rids_s = [eng_s.submit(p, max_new_tokens=5) for p in prompts]
+    rids_a = [eng_a.submit(p, max_new_tokens=5) for p in prompts]
+    done_s = eng_s.run()
+    done_a = eng_a.run()
+    for rs, ra in zip(rids_s, rids_a):
+        assert done_s[rs].tokens == done_a[ra].tokens
+    assert eng_a.summary()["completed"] == 4
+
+
 def test_interleaved_admission(engine_parts):
     """New requests admitted while others are mid-decode."""
     eng = make_engine(engine_parts, num_slots=2, decode_chunk=2)
