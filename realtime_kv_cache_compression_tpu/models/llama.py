@@ -409,23 +409,35 @@ def decode_loop(
     cfg: ModelConfig,
     ccfg: CompressionConfig,
     use_fused: bool = False,
+    temperature: float = 0.0,
+    rng: Optional[Array] = None,
 ) -> Tuple[Array, DecodeState]:
-    """n_steps of greedy decode inside one XLA program (lax.scan over steps).
+    """n_steps of decode inside one XLA program (lax.scan over steps).
 
     One dispatch for the whole generation — essential on TPU, where per-call
     host round-trips would otherwise dominate decode latency.
+    temperature == 0 → greedy; > 0 → categorical sampling (requires `rng`).
     Requires n_steps <= the recent-ring capacity set at prefill.
     """
+    if temperature > 0.0 and rng is None:
+        raise ValueError("sampling (temperature > 0) requires an rng key")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)  # unused in greedy mode
 
     def body(carry, _):
-        tok, st = carry
+        tok, st, key = carry
         logits, st = decode_step(params, tok, st, cfg, ccfg,
                                  use_fused=use_fused)
-        nxt = jnp.argmax(logits, axis=-1)
-        return (nxt, st), nxt
+        if temperature > 0.0:
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(
+                sub, logits.astype(jnp.float32) / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        return (nxt, st, key), nxt
 
-    (_, state), toks = jax.lax.scan(body, (first_token, state), None,
-                                    length=n_steps)
+    (_, state, _), toks = jax.lax.scan(body, (first_token, state, rng), None,
+                                       length=n_steps)
     return toks.T, state  # [B, n_steps]
 
 
@@ -505,18 +517,30 @@ def generate(
     use_flash: bool = False,
     use_fused_decode: bool = False,
     eos_token_id: Optional[int] = None,
+    temperature: float = 0.0,
+    rng: Optional[Array] = None,
 ) -> Tuple[Array, List[Dict[str, Array]]]:
-    """Greedy generation with compressed KV. Returns (generated ids [B, T],
-    per-layer prefill compression stats)."""
+    """Generation with compressed KV (greedy, or sampled when
+    temperature > 0). Returns (generated ids [B, T], per-layer prefill
+    compression stats)."""
+    if temperature > 0.0 and rng is None:
+        rng = jax.random.PRNGKey(0)
     prefill = jax.jit(lambda p, ids: prefill_compressed(
         p, ids, cfg, ccfg, max_decode_len=max_new_tokens,
         use_flash=use_flash))
-    loop = jax.jit(lambda p, t, s: decode_loop(
-        p, t, s, max_new_tokens - 1, cfg, ccfg, use_fused=use_fused_decode))
+    loop = jax.jit(lambda p, t, s, k: decode_loop(
+        p, t, s, max_new_tokens - 1, cfg, ccfg, use_fused=use_fused_decode,
+        temperature=temperature, rng=k))
     logits, state, stats = prefill(params, input_ids)
-    tok = jnp.argmax(logits, axis=-1)
+    if temperature > 0.0:
+        rng, sub = jax.random.split(rng)
+        tok = jax.random.categorical(
+            sub, logits.astype(jnp.float32) / temperature, axis=-1)
+    else:
+        tok = jnp.argmax(logits, axis=-1)
     if max_new_tokens > 1:
-        rest, _ = loop(params, tok, state)
+        rest, _ = loop(params, tok, state, rng if rng is not None
+                       else jax.random.PRNGKey(0))
         out = jnp.concatenate([tok[:, None], rest], axis=1)
     else:
         out = tok[:, None]

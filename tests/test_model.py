@@ -129,3 +129,17 @@ def test_generate_smoke(setup):
     # Deterministic greedy: same call → same tokens.
     out2, _ = llama.generate(params, ids, cfg, ccfg, max_new_tokens=6)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_generate_sampling(setup):
+    cfg, params, ids = setup
+    ccfg = ccfg_for(cfg)
+    s1, _ = llama.generate(params, ids, cfg, ccfg, max_new_tokens=6,
+                           temperature=1.0, rng=jax.random.PRNGKey(1))
+    s1b, _ = llama.generate(params, ids, cfg, ccfg, max_new_tokens=6,
+                            temperature=1.0, rng=jax.random.PRNGKey(1))
+    s2, _ = llama.generate(params, ids, cfg, ccfg, max_new_tokens=6,
+                           temperature=1.0, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.asarray(s1).shape == (2, 6)
