@@ -66,7 +66,9 @@ class ServingEngine:
                  max_new_tokens: int = 128, decode_chunk: int = 8,
                  use_flash: bool = False, use_fused_decode: bool = False,
                  eos_token_id: Optional[int] = None,
-                 async_admission: bool = False):
+                 async_admission: bool = False,
+                 temperature: float = 0.0,
+                 seed: int = 0):
         self.params = params
         self.mcfg = mcfg
         self.ccfg = ccfg
@@ -89,9 +91,11 @@ class ServingEngine:
             use_flash=use_flash, lengths=n))
         self._insert = jax.jit(_tree_insert)  # one dispatch, not hundreds
         # Multi-step batched decode; returns per-step tokens for all slots.
-        self._decode = jax.jit(lambda p, t, s: llama.decode_loop(
+        self.temperature = temperature
+        self._rng = jax.random.PRNGKey(seed)
+        self._decode = jax.jit(lambda p, t, s, k: llama.decode_loop(
             p, t, s, decode_chunk, mcfg, ccfg,
-            use_fused=use_fused_decode))
+            use_fused=use_fused_decode, temperature=temperature, rng=k))
 
         # Batched state, created lazily at first admission.
         self._state: Optional[llama.DecodeState] = None
@@ -228,8 +232,9 @@ class ServingEngine:
             return
 
         # 2) One decode chunk for the whole batch.
+        self._rng, sub = jax.random.split(self._rng)
         toks, self._state = self._decode(self.params, self._last_tokens,
-                                         self._state)
+                                         self._state, sub)
         toks_host = jax.device_get(toks)  # [num_slots, decode_chunk]
         self._last_tokens = toks[:, -1]
 
