@@ -221,38 +221,84 @@ class LongBenchEvaluator:
 
     # -- task loop (longbench_eval.py:165-234) ------------------------------
 
-    def evaluate_task(self, task_name: str, max_samples: int = 8
-                      ) -> Dict[str, Any]:
+    def _record(self, i, sample, task, gen) -> Dict[str, Any]:
+        answers = extract_answers(sample, task)
+        sm = self._sample_metrics(task, gen["response"], answers)
+        rec = {
+            "sample_idx": i,
+            "response": gen["response"][:2000],
+            "answers": answers[:4],
+            "metrics": sm,
+            "ttft": gen["ttft"],
+            "tokens_per_second": gen["tokens_per_second"],
+            "context_length": gen["context_length"],
+        }
+        if "compression" in gen:
+            c = gen["compression"]
+            rec["compression_ratio"] = c.get("avg_compression_ratio")
+            rec["memory_savings"] = c.get("avg_memory_savings")
+            rec["cumulative_compression"] = c.get("cumulative_compression")
+            rec["precision_distribution"] = c.get("precision_distribution")
+        return rec
+
+    def _evaluate_batched(self, task, samples, batch_size) -> List[Dict]:
+        """Group samples by padding bucket and run ragged batches — each
+        batch is one prefill + one scanned decode (the reference ran eager
+        PyTorch one sample at a time)."""
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        prepared = []  # (idx, bucket, length, ids)
+        details: List[Dict] = []
+        for i, sample in enumerate(samples):
+            try:
+                ids = encode_ids(self.tokenizer, format_prompt(task, sample))
+                ids = truncate_middle(ids, self.max_length)
+                bucket = pick_bucket(len(ids), self.max_length)
+                prepared.append((i, bucket, len(ids), ids))
+            except Exception as e:
+                details.append({"sample_idx": i, "error": repr(e)})
+        by_bucket: Dict[int, List] = {}
+        for item in prepared:
+            by_bucket.setdefault(item[1], []).append(item)
+        for bucket, items in sorted(by_bucket.items()):
+            for c0 in range(0, len(items), batch_size):
+                chunk = items[c0:c0 + batch_size]
+                try:
+                    arr = jnp.asarray(
+                        [ids + [0] * (bucket - ln) for _, _, ln, ids in chunk],
+                        jnp.int32)
+                    lengths = jnp.asarray([ln for _, _, ln, _ in chunk],
+                                          jnp.int32)
+                    gen = self.runner.generate(arr, eos_token_id=eos,
+                                               lengths=lengths)
+                    for row, (i, _, ln, _) in enumerate(chunk):
+                        text = decode_ids(self.tokenizer,
+                                          [int(t) for t in
+                                           gen["tokens"][row]])
+                        g = dict(gen, response=text.strip(),
+                                 context_length=ln)
+                        details.append(self._record(i, samples[i], task, g))
+                except Exception as e:
+                    details.extend({"sample_idx": i, "error": repr(e)}
+                                   for i, _, _, _ in chunk)
+        details.sort(key=lambda d: d["sample_idx"])
+        return details
+
+    def evaluate_task(self, task_name: str, max_samples: int = 8,
+                      batch_size: int = 1) -> Dict[str, Any]:
         task = LONGBENCH_TASKS[task_name]
         samples = load_task_data(task_name, self.data_dir, max_samples,
                                  synthetic_kwargs=self.synthetic_kwargs)
-        details = []
-        for i, sample in enumerate(samples):
-            try:
-                prompt = format_prompt(task, sample)
-                gen = self.generate_response(prompt)
-                answers = extract_answers(sample, task)
-                sm = self._sample_metrics(task, gen["response"], answers)
-                rec = {
-                    "sample_idx": i,
-                    "response": gen["response"][:2000],
-                    "answers": answers[:4],
-                    "metrics": sm,
-                    "ttft": gen["ttft"],
-                    "tokens_per_second": gen["tokens_per_second"],
-                    "context_length": gen["context_length"],
-                }
-                if "compression" in gen:
-                    c = gen["compression"]
-                    rec["compression_ratio"] = c.get("avg_compression_ratio")
-                    rec["memory_savings"] = c.get("avg_memory_savings")
-                    rec["cumulative_compression"] = c.get(
-                        "cumulative_compression")
-                    rec["precision_distribution"] = c.get(
-                        "precision_distribution")
-                details.append(rec)
-            except Exception as e:  # per-sample skip (longbench_eval.py:218)
-                details.append({"sample_idx": i, "error": repr(e)})
+        if batch_size > 1:
+            details = self._evaluate_batched(task, samples, batch_size)
+        else:
+            details = []
+            for i, sample in enumerate(samples):
+                try:
+                    prompt = format_prompt(task, sample)
+                    gen = self.generate_response(prompt)
+                    details.append(self._record(i, sample, task, gen))
+                except Exception as e:  # per-sample skip
+                    details.append({"sample_idx": i, "error": repr(e)})
 
         ok = [d for d in details if "error" not in d]
         agg = M.aggregate_metrics([d["metrics"] for d in ok])
@@ -279,12 +325,13 @@ class LongBenchEvaluator:
         return result
 
     def evaluate_all_tasks(self, tasks: Optional[Sequence[str]] = None,
-                           max_samples: int = 8) -> Dict[str, Any]:
+                           max_samples: int = 8,
+                           batch_size: int = 1) -> Dict[str, Any]:
         tasks = list(tasks or CORE_TASKS)
         per_task: Dict[str, Any] = {}
         for t in tasks:
             try:
-                per_task[t] = self.evaluate_task(t, max_samples)
+                per_task[t] = self.evaluate_task(t, max_samples, batch_size)
             except Exception as e:  # per-task skip (longbench_eval.py:337)
                 per_task[t] = {"task": t, "error": repr(e)}
         ok = {k: v for k, v in per_task.items() if "error" not in v}

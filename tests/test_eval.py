@@ -161,6 +161,19 @@ def test_evaluator_end_to_end(runner, tmp_path):
     assert (tmp_path / "narrativeqa_detailed_results.json").exists()
 
 
+def test_evaluator_batched_matches_sequential(runner, tmp_path):
+    """batch_size=2 evaluation produces the same responses/metrics as
+    batch_size=1 (greedy decode; ragged batching is exact)."""
+    ev = LongBenchEvaluator(runner, ByteTokenizer(), max_length=512,
+                            synthetic_kwargs={"context_words": 120})
+    r1 = ev.evaluate_task("narrativeqa", max_samples=3, batch_size=1)
+    r2 = ev.evaluate_task("narrativeqa", max_samples=3, batch_size=2)
+    assert r1["num_evaluated"] == r2["num_evaluated"] == 3
+    for d1, d2 in zip(r1["details"], r2["details"]):
+        assert d1["response"] == d2["response"]
+        assert d1["metrics"] == d2["metrics"]
+
+
 def test_evaluator_baseline_arm(tmp_path):
     cfg = tiny_test_model(num_layers=2, vocab_size=258)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
