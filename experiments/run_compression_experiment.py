@@ -61,6 +61,8 @@ def parse_args():
     p.add_argument("--tasks", nargs="+", default=["narrativeqa", "qasper",
                                                   "multifieldqa_en"])
     p.add_argument("--max-samples", type=int, default=10)
+    p.add_argument("--eval-batch", type=int, default=1,
+                   help="samples per ragged evaluation batch")
     p.add_argument("--data-dir", default=None,
                    help="dir with {task}.jsonl LongBench files")
     p.add_argument("--synthetic-context-words", type=int, default=3000)
@@ -172,8 +174,8 @@ def main():
                                                          "compressed"),
             max_length=args.max_length, data_dir=args.data_dir,
             synthetic_kwargs=syn)
-        results["compressed"] = ev_c.evaluate_all_tasks(args.tasks,
-                                                        args.max_samples)
+        results["compressed"] = ev_c.evaluate_all_tasks(
+            args.tasks, args.max_samples, batch_size=args.eval_batch)
         results["compressed"]["memory_monitor"] = mon.stop()
 
         if args.baseline:
@@ -186,8 +188,9 @@ def main():
                 output_dir=os.path.join(out_dir, "baseline"),
                 max_length=args.max_length, data_dir=args.data_dir,
                 synthetic_kwargs=syn)
-            results["baseline"] = ev_b.evaluate_all_tasks(args.tasks,
-                                                          args.max_samples)
+            results["baseline"] = ev_b.evaluate_all_tasks(
+                args.tasks, args.max_samples,
+                batch_size=args.eval_batch)
             results["baseline"]["memory_monitor"] = mon.stop()
 
         summary = {
