@@ -122,7 +122,8 @@ def compress_layer_kv(
                    else batch * seq_len)
     mem = memory_report(kept_labels, kept_valid, cfg,
                         head_dim * num_kv_heads,
-                        original_tokens=orig_tokens)
+                        original_tokens=orig_tokens,
+                        group_size=group_size)
 
     kept = sel.kept_mask.sum(axis=-1)
     true_len = (token_valid.sum(axis=-1) if token_valid is not None
@@ -148,6 +149,10 @@ def compress_layer_kv(
         "byte_memory_savings": mem["memory_savings"],
         "budget_utilization": sel.stats["budget_utilization"],
         "avg_selected_importance": sel.stats["avg_importance"],
+        # Threshold mode: tokens stored below their label tier because the
+        # statically allocated pool was full (always 0 in quantile mode and
+        # with threshold_tier_slack >= 3).
+        "demoted_count": sel.stats["demoted_count"],
     }
     return cache, stats
 

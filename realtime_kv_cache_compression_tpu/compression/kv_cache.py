@@ -104,14 +104,25 @@ def init_recent_cache(batch: int, max_decode_len: int, model_cfg: ModelConfig,
 
 def append_recent(cache: RecentCache, k_new: Array, v_new: Array,
                   pos_new: Array) -> RecentCache:
-    """Append one decode step's K/V ([B, 1, H, D]) into the ring."""
+    """Append one decode step's K/V ([B, 1, H, D]) into the ring.
+
+    A full ring (length == capacity) DROPS the append and keeps length
+    capped — never silently overwriting the last slot (JAX clamps
+    out-of-range scatter indices) while the validity mask claims it's the
+    new token. Model decode never hits this: `decode_step` flushes the ring
+    into the quantized decode pool before it fills (see flush_recent).
+    """
     b = jnp.arange(cache.k.shape[0])
-    idx = cache.length
+    cap = cache.capacity
+    full = cache.length >= cap  # [B]
+    idx = jnp.minimum(cache.length, cap - 1)
+    sel = lambda new, old: jnp.where(full[:, None, None], old, new)
     return RecentCache(
-        k=cache.k.at[b, idx].set(k_new[:, 0]),
-        v=cache.v.at[b, idx].set(v_new[:, 0]),
-        positions=cache.positions.at[b, idx].set(pos_new[:, 0]),
-        length=cache.length + 1,
+        k=cache.k.at[b, idx].set(sel(k_new[:, 0], cache.k[b, idx])),
+        v=cache.v.at[b, idx].set(sel(v_new[:, 0], cache.v[b, idx])),
+        positions=cache.positions.at[b, idx].set(
+            jnp.where(full, cache.positions[b, idx], pos_new[:, 0])),
+        length=jnp.minimum(cache.length + 1, cap),
     )
 
 

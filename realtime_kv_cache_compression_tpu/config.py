@@ -83,7 +83,19 @@ class CompressionConfig:
     #       high tier. Deterministic memory, no masks wasted.
     tier_mode: str = "quantile"
     # Fractions of selected slots per tier in quantile mode (high, mid, low).
+    # In threshold mode these are the *allocation prior* for the static pool
+    # capacities (see threshold_tier_slack).
     tier_fractions: Tuple[float, float, float] = (0.25, 0.5, 0.25)
+    # Threshold-mode pool over-allocation factor. Tier membership under
+    # theta_h/theta_m is data-dependent, but labels are monotone in score, so
+    # in importance-sorted order the tiers are contiguous segments; pools are
+    # allocated at ceil(limit · fraction · slack) slots and the segment
+    # boundaries clamp to what fits (overflow tokens promote into free
+    # higher-tier slots — free quality — or demote when none remain).
+    # 1.15 keeps allocated bytes within ~1.2x of quantile mode at equal
+    # retention; >= 3.0 reproduces the label-exact reference semantics
+    # unconditionally (every tier can hold every selected token).
+    threshold_tier_slack: float = 1.15
 
     # Selection mode:
     #   "topk_prefix": vectorized — sort by importance desc, keep the maximal
@@ -131,6 +143,9 @@ class CompressionConfig:
             raise ValueError(f"unknown selection_mode {self.selection_mode!r}")
         if abs(sum(self.tier_fractions) - 1.0) > 1e-6:
             raise ValueError("tier_fractions must sum to 1")
+        if self.threshold_tier_slack < 1.0:
+            raise ValueError("threshold_tier_slack must be >= 1.0 "
+                             "(pools must hold every selected token)")
         if self.layer_weights is None:
             n = self.num_layers
             if n > 1:
@@ -196,8 +211,16 @@ class CompressionConfig:
         limit = self.token_limit(seq_len, layer_idx)
         cap = _round_up(limit, self.slot_align)
         if self.tier_mode == "threshold":
-            # Any tier could hold every selected token.
-            return (cap, cap, cap)
+            # Static caps from the allocation prior × slack; selection clamps
+            # the (contiguous) tier boundaries to these. Capacity sums to
+            # >= limit by construction, so every selected token fits.
+            caps = tuple(
+                min(cap, _round_up(math.ceil(limit * f
+                                             * self.threshold_tier_slack),
+                                   self.slot_align))
+                for f in self.tier_fractions)
+            assert sum(caps) >= limit
+            return caps
         n_h, n_m = self.tier_limits(limit)
         n_l = limit - n_h - n_m
         return (_round_up(n_h, self.slot_align) if n_h else 0,

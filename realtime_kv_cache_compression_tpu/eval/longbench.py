@@ -110,10 +110,24 @@ class ModelRunner:
         # through the TPU relay (see utils/timing.py).
         sync = lambda x: float(jnp.asarray(x[:, :8], jnp.float32).sum())
 
-        # Warm-up compile once per bucket (excluded from TTFT).
+        # Warm-up compile once per bucket (excluded from TTFT *and* from the
+        # decode timer — the decode loop compiles here too, so the first
+        # sample of a bucket is not charged tens of seconds of compilation).
         if bucket not in self._warmed:
             out = prefill(self.params, ids, lengths)
             sync(out[0])
+            if self.max_new_tokens > 1:
+                tok_w = jnp.argmax(out[0], axis=-1)
+                if self.compressed:
+                    rest_w, _ = step(self.params, tok_w, out[1])
+                else:
+                    pad_len = bucket + self.max_new_tokens
+                    kv_w = tuple(jnp.pad(a, ((0, 0), (0, 0),
+                                             (0, pad_len - a.shape[2]),
+                                             (0, 0), (0, 0)))
+                                 for a in out[1])
+                    rest_w, _, _ = step(self.params, tok_w, kv_w, lengths)
+                sync(rest_w)
             self._warmed.add(bucket)
 
         t0 = time.perf_counter()

@@ -8,8 +8,7 @@ quantizes per row (gather → scale).
 
 Matmul execution: `llama._matmul` dispatches on `QuantizedTensor`; the XLA
 path dequantizes the weight operand into the dot (convert fuses on TPU for
-streaming operands), and `ops/pallas/int8_matmul.py` provides the explicit
-fused kernel for when it does not.
+streaming operands).
 """
 
 from __future__ import annotations

@@ -240,13 +240,20 @@ def storage_bytes(shape_tokens: int, head_dim: int, num_kv_heads: int,
 
 
 def memory_report(labels: Array, valid: Array, cfg: CompressionConfig,
-                  head_dim: int, original_tokens=None) -> Dict[str, Array]:
+                  head_dim: int, original_tokens=None,
+                  group_size: int = 0) -> Dict[str, Array]:
     """Per-tier element counts and compressed/original byte ratio.
 
     Semantics of dynamic_quantization.py:198-241 (fp16 reference baseline),
     computed from actually-stored tokens. `original_tokens` is the true
     pre-compression token count (defaults to the slot count, which
     *understates* savings — callers should pass batch * seq_len).
+
+    `group_size` is the effective channels-per-scale-group over the fused
+    `head_dim` token vector; the per-(token, group) float32 scale+zero-point
+    storage (8 bytes per group per tensor) is charged to compressed_bytes so
+    the ratio reflects real allocated bytes, not codes only. 0 → one group
+    per token vector (the coarsest, minimum overhead).
     """
     lab = jnp.where(valid, labels, -1)
     n_high = (lab == HIGH).sum()
@@ -255,10 +262,16 @@ def memory_report(labels: Array, valid: Array, cfg: CompressionConfig,
     total_tokens = (original_tokens if original_tokens is not None
                     else labels.shape[-1] * labels.shape[0])
     original_bytes = total_tokens * head_dim * 2.0
+    # float32 scale + zero-point per (token, group), stored for every tier
+    # (16-bit tiers physically allocate unit scales too — see quantize_tier).
+    n_groups = head_dim // (group_size or head_dim)
+    param_bytes_per_token = n_groups * 4 * 2
+    n_stored = n_high + n_mid + n_low
     compressed_bytes = (
         n_high * head_dim * cfg.tier_bits(HIGH) / 8.0
         + n_mid * head_dim * cfg.tier_bits(MID) / 8.0
-        + n_low * head_dim * cfg.tier_bits(LOW) / 8.0)
+        + n_low * head_dim * cfg.tier_bits(LOW) / 8.0
+        + n_stored * param_bytes_per_token)
     ratio = compressed_bytes / original_bytes
     return {
         "high_elements": n_high * head_dim,

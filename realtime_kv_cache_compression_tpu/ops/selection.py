@@ -139,6 +139,7 @@ def select_tokens(
 
     # Tier of each sorted position. Quantile boundaries follow the exact
     # per-row limit (cfg.tier_limits semantics), not allocated capacities.
+    demoted = jnp.zeros((batch,), jnp.int32)
     if cfg.tier_mode == "quantile":
         fh, fm, _ = cfg.tier_fractions
         lim_f = limit.astype(jnp.float32)
@@ -148,7 +149,31 @@ def select_tokens(
         tier_sorted = jnp.where(
             sel_rank < n_h, HIGH, jnp.where(sel_rank < n_h + n_m, MID, LOW))
     else:
-        tier_sorted = jnp.take_along_axis(labels, order, axis=-1)
+        # Threshold labels are monotone in score, so in sorted order the
+        # tiers are contiguous segments with boundaries at the label counts.
+        # Clamp those boundaries to the static pool capacities: when a
+        # lower pool cannot hold its share, tokens promote into free
+        # higher-tier slots (more bits — free quality, the slots exist
+        # anyway); when a higher pool overflows, its least-important tokens
+        # demote (counted in stats). With generous capacities
+        # (threshold_tier_slack >= 3) this reduces to the label-exact
+        # reference semantics.
+        labels_sorted = jnp.take_along_axis(labels, order, axis=-1)
+        n_h_lab = (sel_sorted & (labels_sorted == HIGH)).sum(
+            axis=-1, keepdims=True)
+        n_m_lab = (sel_sorted & (labels_sorted == MID)).sum(
+            axis=-1, keepdims=True)
+        n_sel_r = sel_sorted.sum(axis=-1, keepdims=True)
+        c_h, c_m, c_l = caps
+        hi_end = jnp.clip(jnp.maximum(n_h_lab, n_sel_r - c_m - c_l), 0, c_h)
+        seg_m = jnp.clip(jnp.maximum(n_h_lab + n_m_lab - hi_end,
+                                     n_sel_r - hi_end - c_l), 0, c_m)
+        mid_end = hi_end + seg_m
+        tier_sorted = jnp.where(sel_rank < hi_end, HIGH,
+                                jnp.where(sel_rank < mid_end, MID, LOW))
+        demoted = (jnp.maximum(n_h_lab - hi_end, 0)
+                   + jnp.maximum(n_h_lab + n_m_lab
+                                 - jnp.maximum(mid_end, n_h_lab), 0))[:, 0]
 
     batch_idx = jnp.arange(batch)[:, None]
     tier_caps = {HIGH: caps[0], MID: caps[1], LOW: caps[2]}
@@ -193,6 +218,7 @@ def select_tokens(
         "medium_count": tier_counts[MID],
         "low_count": tier_counts[LOW],
         "propagation_ratio": jnp.full((batch,), ratio),
+        "demoted_count": demoted,
         "compression_ratio": kept_mask.sum(axis=-1) / (
             token_valid.sum(axis=-1) if token_valid is not None else seq_len),
     }

@@ -28,10 +28,28 @@ class ByteTokenizer:
             ids = ids[:max_length]
         return ids
 
+    _SPECIALS = {256: "<s>", 257: "</s>"}
+
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
-        data = bytes(i for i in ids
-                     if 0 <= int(i) < 256 or not skip_special_tokens)
-        return data.decode("utf-8", errors="ignore")
+        # Only byte ids enter bytes(); specials render as explicit strings
+        # when requested (ids >= 256 would make bytes() raise ValueError).
+        pieces: List[str] = []
+        run: List[int] = []
+
+        def flush():
+            if run:
+                pieces.append(bytes(run).decode("utf-8", errors="ignore"))
+                run.clear()
+
+        for i in ids:
+            i = int(i)
+            if 0 <= i < 256:
+                run.append(i)
+            elif not skip_special_tokens:
+                flush()
+                pieces.append(self._SPECIALS.get(i, f"<unk:{i}>"))
+        flush()
+        return "".join(pieces)
 
 
 def load_tokenizer(model_name_or_path: Optional[str] = None):

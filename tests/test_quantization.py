@@ -106,9 +106,11 @@ def test_memory_report_real_byte_accounting(cfg):
         jnp.full((1, 4), HIGH), jnp.full((1, 4), MID), jnp.full((1, 8), LOW),
     ], axis=-1)
     valid = jnp.ones((1, 16), bool)
-    rep = q.memory_report(labels, valid, cfg, head_dim=64)
-    # bytes: 4 tok @1B/el + 4 tok @0.5 + 8 @0.25 vs 16 tok @2B
-    expected_ratio = (4 * 1 + 4 * 0.5 + 8 * 0.25) / (16 * 2.0)
+    rep = q.memory_report(labels, valid, cfg, head_dim=64, group_size=64)
+    # bytes: codes (4 tok @1B/el + 4 tok @0.5 + 8 @0.25) × 64 ch, plus the
+    # per-(token, group) f32 scale+zp (8 B/token at one group) vs 16 tok @2B.
+    expected_ratio = ((4 * 1 + 4 * 0.5 + 8 * 0.25) * 64 + 16 * 8) \
+        / (16 * 64 * 2.0)
     assert float(rep["compression_ratio"]) == pytest.approx(expected_ratio)
     assert float(rep["memory_savings"]) == pytest.approx(1 - expected_ratio)
     assert 0.0 <= float(rep["memory_savings"]) <= 1.0

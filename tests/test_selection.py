@@ -62,7 +62,9 @@ def test_exact_greedy_matches_reference_loop(rng):
 
 
 def test_tier_slots_threshold_mode(rng):
-    cfg = make_cfg(tier_mode="threshold")
+    # slack >= 3 -> every pool can hold every selected token -> label-exact
+    # reference semantics (tier == threshold label for every stored token).
+    cfg = make_cfg(tier_mode="threshold", threshold_tier_slack=3.0)
     scores = jnp.asarray(rng.random((1, 32)).astype(np.float32))
     labels, _ = q.assign_precision(scores, cfg)
     sel = sel_mod.select_tokens(scores, labels, layer_idx=0, cfg=cfg)
@@ -79,6 +81,60 @@ def test_tier_slots_threshold_mode(rng):
         assert np.all(np.diff(s) <= 1e-7)
     n_valid = sum(np.asarray(sel.valid[t]).sum() for t in range(3))
     assert n_valid == kept.sum()
+
+
+def test_threshold_clamped_placement(rng):
+    """Default (tight) slack: tiers stay contiguous in importance order,
+    every selected token is stored, and demotions are counted."""
+    cfg = make_cfg(tier_mode="threshold")  # slack 1.15
+    scores = jnp.asarray(rng.random((3, 64)).astype(np.float32))
+    labels, _ = q.assign_precision(scores, cfg)
+    sel = sel_mod.select_tokens(scores, labels, layer_idx=0, cfg=cfg)
+    for b in range(3):
+        s = np.asarray(scores[b])
+        kept = np.asarray(sel.kept_mask[b])
+        # All selected tokens are stored in some tier.
+        n_valid = sum(int(np.asarray(sel.valid[t][b]).sum()) for t in range(3))
+        assert n_valid == kept.sum()
+        # Contiguity: min score of tier t >= max score of tier t+1.
+        tier_scores = []
+        for t in range(3):
+            v = np.asarray(sel.valid[t][b])
+            tier_scores.append(s[np.asarray(sel.indices[t][b])[v]])
+        for hi, lo in ((0, 1), (1, 2)):
+            if len(tier_scores[hi]) and len(tier_scores[lo]):
+                assert tier_scores[hi].min() >= tier_scores[lo].max() - 1e-7
+        # demoted_count is consistent: tokens labeled above their stored tier.
+        lab = np.asarray(labels[b])
+        demoted = 0
+        for t, tier in enumerate((HIGH, MID, LOW)):
+            v = np.asarray(sel.valid[t][b])
+            stored_lab = lab[np.asarray(sel.indices[t][b])[v]]
+            demoted += int((stored_lab > tier).sum())
+        assert int(sel.stats["demoted_count"][b]) == demoted
+
+
+def test_threshold_allocation_within_bound(rng):
+    """VERDICT #9: threshold-mode allocated bytes <= 1.2x quantile mode at
+    equal retention (was 3x in round 1)."""
+    from realtime_kv_cache_compression_tpu.compression.compressor import \
+        compress_layer_kv
+    from realtime_kv_cache_compression_tpu.compression.kv_cache import \
+        cache_storage_bytes
+    from realtime_kv_cache_compression_tpu.config import tiny_test_model
+
+    mcfg = tiny_test_model()
+    k = jnp.asarray(rng.normal(size=(1, 128, 2, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 128, 2, 16)).astype(np.float32))
+    mass = jnp.asarray(rng.random((1, 128)).astype(np.float32))
+    sizes = {}
+    for mode in ("quantile", "threshold"):
+        cfg = make_cfg(tier_mode=mode, slot_align=8)
+        cache, stats = compress_layer_kv(k, v, mass, 0, cfg, mcfg)
+        sizes[mode] = cache_storage_bytes(cache)
+        # Retention identical across modes (selection is mode-independent).
+        assert int(stats["kept_tokens"][0]) > 0
+    assert sizes["threshold"] <= 1.2 * sizes["quantile"], sizes
 
 
 def test_tier_slots_quantile_mode(rng):
