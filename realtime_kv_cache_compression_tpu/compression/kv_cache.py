@@ -15,12 +15,12 @@ ride alongside. Decode attends over the three pools plus an uncompressed
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..config import ModelConfig
+from ..config import CompressionConfig, ModelConfig
 
 Array = jax.Array
 
@@ -124,6 +124,156 @@ def append_recent(cache: RecentCache, k_new: Array, v_new: Array,
             jnp.where(full, cache.positions[b, idx], pos_new[:, 0])),
         length=jnp.minimum(cache.length + 1, cap),
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DecodePool:
+    """Quantized decode-token pool: a ring of ring-sized blocks.
+
+    Decode-token compression (no reference counterpart — the reference is
+    prefill-only, so long generations defeat its memory win): each time the
+    uncompressed recent ring fills with R tokens, the whole ring is
+    quantized at `decode_pool_bits` and written into the next block; with
+    all `n_blocks` full, the oldest block is overwritten (sliding window
+    over decode tokens — the compressed prefill pools are never evicted).
+
+    Shapes (R = ring capacity = tokens per block, W = n_blocks,
+    Rw = rows per block = R / (8 / bits)):
+      k_stored / v_stored: [B, W * Rw, H, D] uint8 (packed per block) — or
+          [B, W * R, H, D] raw dtype for bits == 16.
+      k_scale / k_zp / v_scale / v_zp: [B, W * R, H, G] float32.
+      positions: [B, W * R] int32; valid: [B, W * R] bool.
+      write_block: [B] int32 — next block to write (wraps mod W).
+    """
+
+    k_stored: Array
+    v_stored: Array
+    k_scale: Array
+    k_zp: Array
+    v_scale: Array
+    v_zp: Array
+    positions: Array
+    valid: Array
+    write_block: Array
+    n_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
+    block_tokens: int = dataclasses.field(metadata=dict(static=True),
+                                          default=0)
+    bits: int = dataclasses.field(metadata=dict(static=True), default=4)
+
+    @property
+    def capacity(self) -> int:
+        return self.n_blocks * self.block_tokens
+
+
+def init_decode_pool(batch: int, ring_capacity: int, cfg: CompressionConfig,
+                     model_cfg: ModelConfig) -> Optional[DecodePool]:
+    """Allocate the decode pool (None when decode_pool_blocks == 0)."""
+    w = cfg.decode_pool_blocks
+    if w == 0:
+        return None
+    bits = cfg.decode_pool_bits
+    h, d = model_cfg.num_kv_heads, model_cfg.head_dim
+    g = d // (cfg.quant_group_size or d)
+    r = ring_capacity
+    per_byte = 1 if bits >= 8 else 8 // bits
+    if bits < 16 and r % per_byte:
+        raise ValueError(f"ring capacity {r} must divide {per_byte} "
+                         f"tokens/byte for {bits}-bit decode pool packing")
+    rows = r if bits == 16 else r // per_byte
+    store_dtype = jnp.dtype(model_cfg.dtype) if bits == 16 else jnp.uint8
+    return DecodePool(
+        k_stored=jnp.zeros((batch, w * rows, h, d), store_dtype),
+        v_stored=jnp.zeros((batch, w * rows, h, d), store_dtype),
+        k_scale=jnp.ones((batch, w * r, h, g), jnp.float32),
+        k_zp=jnp.zeros((batch, w * r, h, g), jnp.float32),
+        v_scale=jnp.ones((batch, w * r, h, g), jnp.float32),
+        v_zp=jnp.zeros((batch, w * r, h, g), jnp.float32),
+        positions=jnp.zeros((batch, w * r), jnp.int32),
+        valid=jnp.zeros((batch, w * r), bool),
+        write_block=jnp.zeros((batch,), jnp.int32),
+        n_blocks=w, block_tokens=r, bits=bits,
+    )
+
+
+def flush_recent(recent: RecentCache, pool: DecodePool,
+                 cfg: CompressionConfig, model_cfg: ModelConfig
+                 ) -> Tuple[RecentCache, DecodePool]:
+    """Flush full ring rows into the decode pool (per-row, vectorized).
+
+    Rows whose ring is full (length == capacity) have their R tokens
+    quantized at decode_pool_bits and written into the row's next pool
+    block; the ring length resets to 0 (slots are overwritten by subsequent
+    appends). Rows that are not full are unchanged. The quantization runs
+    for every row every call (cheap, R tokens) and is applied by masking —
+    per-row control flow stays in values, as XLA requires.
+    """
+    from ..ops.quantization import quantize_tier
+
+    b = recent.k.shape[0]
+    r = recent.capacity
+    bits = pool.bits
+    group_size = cfg.quant_group_size or model_cfg.head_dim
+    store_dtype = jnp.dtype(model_cfg.dtype)
+    full = recent.length >= r  # [B]
+
+    k_new, k_scale, k_zp = quantize_tier(recent.k, bits, group_size,
+                                         store_dtype,
+                                         clip_frac=cfg.quant_clip_frac)
+    v_new, v_scale, v_zp = quantize_tier(recent.v, bits, group_size,
+                                         store_dtype,
+                                         clip_frac=cfg.quant_clip_frac)
+
+    rows = k_new.shape[1]  # rows per block
+    bidx = jnp.arange(b)[:, None]
+    w = pool.write_block
+    row_idx = w[:, None] * rows + jnp.arange(rows)[None, :]   # [B, rows]
+    tok_idx = w[:, None] * r + jnp.arange(r)[None, :]         # [B, R]
+
+    def upd(dst, src, idx):
+        old = dst[bidx, idx]
+        mask = full.reshape((b,) + (1,) * (src.ndim - 1))
+        return dst.at[bidx, idx].set(jnp.where(mask, src.astype(dst.dtype),
+                                               old))
+
+    new_pool = dataclasses.replace(
+        pool,
+        k_stored=upd(pool.k_stored, k_new, row_idx),
+        v_stored=upd(pool.v_stored, v_new, row_idx),
+        k_scale=upd(pool.k_scale, k_scale, tok_idx),
+        k_zp=upd(pool.k_zp, k_zp, tok_idx),
+        v_scale=upd(pool.v_scale, v_scale, tok_idx),
+        v_zp=upd(pool.v_zp, v_zp, tok_idx),
+        positions=upd(pool.positions, recent.positions, tok_idx),
+        valid=upd(pool.valid, jnp.ones((b, r), bool), tok_idx),
+        write_block=jnp.where(full, (w + 1) % pool.n_blocks, w),
+    )
+    new_recent = dataclasses.replace(
+        recent, length=jnp.where(full, 0, recent.length))
+    return new_recent, new_pool
+
+
+def dequantize_decode_pool(pool: DecodePool, dtype=jnp.float32
+                           ) -> Tuple[Array, Array, Array, Array]:
+    """Materialize the pool to dense K/V: (k, v, positions, valid) with
+    k/v [B, W*R, H, D]. Blocks were packed independently, so unpack runs
+    per block (a reshape, no data movement)."""
+    from ..ops.quantization import dequantize_tier
+
+    b = pool.positions.shape[0]
+    w, r = pool.n_blocks, pool.block_tokens
+    h, d = pool.k_stored.shape[-2:]
+    g = pool.k_scale.shape[-1]
+
+    def deq(stored, scale, zp):
+        s = stored.reshape(b, w, -1, h, d)
+        out = dequantize_tier(s, scale.reshape(b, w, r, h, g),
+                              zp.reshape(b, w, r, h, g), pool.bits, dtype)
+        return out.reshape(b, w * r, h, d)
+
+    k = deq(pool.k_stored, pool.k_scale, pool.k_zp)
+    v = deq(pool.v_stored, pool.v_scale, pool.v_zp)
+    return k, v, pool.positions, pool.valid
 
 
 def cache_storage_bytes(cache: CompressedLayerCache) -> int:

@@ -118,6 +118,17 @@ class CompressionConfig:
     # 0 disables (reference behavior).
     quant_clip_frac: float = 0.0
 
+    # --- decode-token compression (beyond the reference's prefill-only
+    # scope): when the uncompressed recent ring fills, its tokens are
+    # quantized at decode_pool_bits and flushed into a pool of
+    # decode_pool_blocks ring-sized blocks. The pool itself is a ring of
+    # blocks: past R*(blocks+1) generated tokens the oldest block is
+    # overwritten (sliding window over decode tokens; the compressed prefill
+    # pools are never evicted). 0 blocks disables flushing — the ring must
+    # then hold the whole generation (round-1 behavior).
+    decode_pool_blocks: int = 0
+    decode_pool_bits: int = 4
+
     # Reference parity flag: recompute the prefill attention output against the
     # compressed K (modified_llama.py:125-140). Off by default — keeping the
     # exact prefill output is both faster and higher quality; the compressed
@@ -146,6 +157,11 @@ class CompressionConfig:
         if self.threshold_tier_slack < 1.0:
             raise ValueError("threshold_tier_slack must be >= 1.0 "
                              "(pools must hold every selected token)")
+        if self.decode_pool_bits not in VALID_BITS:
+            raise ValueError(
+                f"decode_pool_bits {self.decode_pool_bits} not in {VALID_BITS}")
+        if self.decode_pool_blocks < 0:
+            raise ValueError("decode_pool_blocks must be >= 0")
         if self.layer_weights is None:
             n = self.num_layers
             if n > 1:

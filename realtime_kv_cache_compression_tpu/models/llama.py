@@ -31,8 +31,10 @@ import jax
 import jax.numpy as jnp
 
 from ..compression.compressor import compress_layer_kv, dequantize_layer_cache
-from ..compression.kv_cache import (CompressedLayerCache, RecentCache,
-                                    append_recent, init_recent_cache)
+from ..compression.kv_cache import (CompressedLayerCache, DecodePool,
+                                    RecentCache, append_recent,
+                                    dequantize_decode_pool, flush_recent,
+                                    init_decode_pool, init_recent_cache)
 from ..config import CompressionConfig, ModelConfig
 from ..ops.attention import (attention_over_tokens,
                              prefill_attention_with_prompt_mass)
@@ -171,11 +173,14 @@ def logits_from_hidden(params: Params, h: Array, cfg: ModelConfig) -> Array:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DecodeState:
-    """Everything decode needs: per-layer compressed pools + recent rings."""
+    """Everything decode needs: per-layer compressed pools + recent rings
+    (+ optional quantized decode pools for generations past the ring)."""
 
     caches: Tuple[CompressedLayerCache, ...]
     recents: Tuple[RecentCache, ...]
     position: Array  # [B] next position index
+    # One DecodePool per layer when ccfg.decode_pool_blocks > 0, else Nones.
+    pools: Tuple[Optional[DecodePool], ...] = ()
 
 
 def _prefill_attention(q, k, v, prompt_len, use_flash, prompt_lens=None):
@@ -224,7 +229,7 @@ def prefill_compressed(
         prompt_lens = None
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
-    caches, recents, all_stats = [], [], []
+    caches, recents, pools, all_stats = [], [], [], []
     for layer_idx, layer in enumerate(params["layers"]):
         x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, x, cfg)
@@ -239,6 +244,7 @@ def prefill_compressed(
         caches.append(cache)
         all_stats.append(stats)
         recents.append(init_recent_cache(b, max_decode_len, cfg))
+        pools.append(init_decode_pool(b, max_decode_len, ccfg, cfg))
 
         if ccfg.recompute_prefill_attention:
             # Reference-parity mode (modified_llama.py:125-140): the prefill
@@ -263,7 +269,7 @@ def prefill_compressed(
         end_pos = jnp.full((b,), s, jnp.int32)
     logits = logits_from_hidden(params, last_h, cfg)
     state = DecodeState(caches=tuple(caches), recents=tuple(recents),
-                        position=end_pos)
+                        position=end_pos, pools=tuple(pools))
     return logits, state, all_stats
 
 
@@ -364,20 +370,31 @@ def decode_step(
     q_pos = state.position[:, None]  # [B, 1]
     cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
 
-    new_recents = []
+    new_recents, new_pools = [], []
+    have_pools = bool(state.pools) and state.pools[0] is not None
     for layer_idx, layer in enumerate(params["layers"]):
         x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, x, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        recent = append_recent(state.recents[layer_idx], k, v, q_pos)
+        recent = state.recents[layer_idx]
+        pool = state.pools[layer_idx] if have_pools else None
+        if pool is not None:
+            # Decode-token compression: a full ring is quantized into the
+            # layer's decode pool before this step's token is appended, so
+            # the ring never overflows and long generations keep the
+            # memory win (decode tokens at decode_pool_bits).
+            recent, pool = flush_recent(recent, pool, ccfg, cfg)
+        recent = append_recent(recent, k, v, q_pos)
         new_recents.append(recent)
+        new_pools.append(pool)
         cache = state.caches[layer_idx]
 
         if use_fused:
             from ..ops.pallas.decode_attention import fused_decode_attention
-            attn_out = fused_decode_attention(q, cache, recent, q_pos, ccfg)
+            attn_out = fused_decode_attention(q, cache, recent, q_pos, ccfg,
+                                              pool=pool)
         else:
             # Dequantize straight to the compute dtype: bf16 K/V stream at
             # half the HBM bandwidth of f32 into the attention matmuls.
@@ -385,19 +402,30 @@ def decode_step(
                                                               q.dtype)
             rec_valid = (jnp.arange(recent.capacity)[None]
                          < recent.length[:, None])
-            k_all = jnp.concatenate([k_c.astype(q.dtype), recent.k], axis=1)
-            v_all = jnp.concatenate([v_c.astype(q.dtype), recent.v], axis=1)
-            pos_all = jnp.concatenate([pos_c, recent.positions], axis=1)
-            valid_all = jnp.concatenate([valid_c, rec_valid], axis=1)
-            attn_out = attention_over_tokens(q, k_all, v_all, pos_all,
-                                             valid_all, q_pos)
+            ks = [k_c.astype(q.dtype), recent.k]
+            vs = [v_c.astype(q.dtype), recent.v]
+            ps = [pos_c, recent.positions]
+            vds = [valid_c, rec_valid]
+            if pool is not None:
+                k_p, v_p, pos_p, valid_p = dequantize_decode_pool(pool,
+                                                                  q.dtype)
+                ks.append(k_p)
+                vs.append(v_p)
+                ps.append(pos_p)
+                vds.append(valid_p)
+            attn_out = attention_over_tokens(
+                q, jnp.concatenate(ks, axis=1), jnp.concatenate(vs, axis=1),
+                jnp.concatenate(ps, axis=1), jnp.concatenate(vds, axis=1),
+                q_pos)
 
         h = h + _matmul(attn_out.reshape(b, 1, cfg.q_dim), layer["wo"])
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
 
     logits = logits_from_hidden(params, h[:, 0], cfg)
     state = DecodeState(caches=state.caches, recents=tuple(new_recents),
-                        position=state.position + 1)
+                        position=state.position + 1,
+                        pools=tuple(new_pools) if have_pools
+                        else state.pools)
     return logits, state
 
 
@@ -417,7 +445,13 @@ def decode_loop(
     One dispatch for the whole generation — essential on TPU, where per-call
     host round-trips would otherwise dominate decode latency.
     temperature == 0 → greedy; > 0 → categorical sampling (requires `rng`).
-    Requires n_steps <= the recent-ring capacity set at prefill.
+
+    Generation length: with decode pools (ccfg.decode_pool_blocks > 0) any
+    n_steps is supported — full rings flush into the quantized pool, and
+    past ring*(blocks+1) decode tokens the oldest pool block is overwritten
+    (sliding window; prefill pools are never evicted). Without pools,
+    n_steps must stay <= the recent-ring capacity set at prefill (appends
+    past a full ring are dropped).
     """
     if temperature > 0.0 and rng is None:
         raise ValueError("sampling (temperature > 0) requires an rng key")

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...compression.kv_cache import CompressedLayerCache, RecentCache
+from ...compression.kv_cache import (CompressedLayerCache, DecodePool,
+                                     RecentCache)
 from ...config import HIGH, LOW, MID, CompressionConfig
 
 Array = jax.Array
@@ -179,6 +180,24 @@ def _run_segment(state, qpos3, q_r, k_s, v_s, k_sc, k_zp, v_sc, v_zp,
     return m, l, acc
 
 
+def _pool_blocks(pool: Optional[DecodePool]):
+    """Decode-pool blocks as tier-like packed entries:
+    (bits, n_tokens, k_rows, v_rows, k_sc, k_zp, v_sc, v_zp, masked_pos)."""
+    if pool is None or pool.n_blocks == 0:
+        return
+    if pool.k_scale.shape[-1] != 1:
+        raise NotImplementedError("per-(token, head) scales only")
+    r = pool.block_tokens
+    rows = pool.k_stored.shape[1] // pool.n_blocks
+    masked = jnp.where(pool.valid, pool.positions, POS_SENTINEL)
+    for w in range(pool.n_blocks):
+        rs = slice(w * rows, (w + 1) * rows)
+        ts = slice(w * r, (w + 1) * r)
+        yield (pool.bits, r, pool.k_stored[:, rs], pool.v_stored[:, rs],
+               pool.k_scale[:, ts], pool.k_zp[:, ts],
+               pool.v_scale[:, ts], pool.v_zp[:, ts], masked[:, ts])
+
+
 def fused_decode_attention_segmented(
     q: Array,
     cache: CompressedLayerCache,
@@ -187,6 +206,7 @@ def fused_decode_attention_segmented(
     cfg: CompressionConfig,
     interpret: Optional[bool] = None,
     segment_tokens: int = 4096,
+    pool: Optional[DecodePool] = None,
 ) -> Array:
     """VMEM-safe fused decode: pools processed in <= segment_tokens chunks,
     with the online-softmax state (m, l, acc) carried between pallas calls.
@@ -257,6 +277,13 @@ def fused_decode_attention_segmented(
                 tok_slice(masked_pos, r0, rl, 1)[:, None, :],
                 bits, length, sm_scale, interpret)
 
+    for (p_bits, p_n, pk, pv, pksc, pkzp, pvsc, pvzp, p_pos) in \
+            _pool_blocks(pool):
+        state = _run_segment(
+            state, qpos3, q_r, hm(pk), hm(pv),
+            hm(pksc), hm(pkzp), hm(pvsc), hm(pvzp),
+            p_pos[:, None, :], p_bits, p_n, sm_scale, interpret)
+
     if recent.capacity:
         r_mask = jnp.arange(recent.capacity)[None, :] < recent.length[:, None]
         r_pos = jnp.where(r_mask, recent.positions, POS_SENTINEL)
@@ -281,8 +308,9 @@ def fused_decode_attention(
     q_pos: Array,
     cfg: CompressionConfig,
     interpret: Optional[bool] = None,
+    pool: Optional[DecodePool] = None,
 ) -> Array:
-    """Decode attention over packed tier pools + recent ring.
+    """Decode attention over packed tier pools + recent ring (+ decode pool).
 
     Args:
       q: [B, 1, H_q, D] (RoPE'd).
@@ -290,15 +318,18 @@ def fused_decode_attention(
       recent: uncompressed decode-token ring.
       q_pos: [B, 1] int32 current positions.
       cfg: compression config (tier bit widths).
+      pool: optional quantized decode-token pool (flushed ring blocks).
 
     Returns: [B, 1, H_q, D] attention output.
     """
     if interpret is None:
         interpret = _interpret_default()
-    if cache.capacity + recent.capacity > 8192:
+    pool_cap = pool.capacity if pool is not None else 0
+    if cache.capacity + recent.capacity + pool_cap > 8192:
         # Whole pools would overflow VMEM — use the segmented variant.
         return fused_decode_attention_segmented(q, cache, recent, q_pos, cfg,
-                                                interpret=interpret)
+                                                interpret=interpret,
+                                                pool=pool)
     b, _, hq, d = q.shape
     hkv = recent.k.shape[2]
     n_rep = hq // hkv
@@ -347,6 +378,24 @@ def fused_decode_attention(
             in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, hi, 0, 0)))
         inputs.append(masked_pos[:, None, :])
         in_specs.append(pl.BlockSpec((1, 1, masked_pos.shape[1]),
+                                     lambda bi, hi: (bi, 0, 0)))
+
+    for (p_bits, p_n, pk, pv, pksc, pkzp, pvsc, pvzp, p_pos) in \
+            _pool_blocks(pool):
+        tier_meta.append((p_n, p_bits))
+        rows = pk.shape[1]
+        for arr, blk in (
+            (hm(pk), (1, 1, rows, d)),
+            (hm(pv), (1, 1, rows, d)),
+            (hm(pksc), (1, 1, p_n, 1)),
+            (hm(pkzp), (1, 1, p_n, 1)),
+            (hm(pvsc), (1, 1, p_n, 1)),
+            (hm(pvzp), (1, 1, p_n, 1)),
+        ):
+            inputs.append(arr)
+            in_specs.append(pl.BlockSpec(blk, lambda bi, hi: (bi, hi, 0, 0)))
+        inputs.append(p_pos[:, None, :])
+        in_specs.append(pl.BlockSpec((1, 1, p_n),
                                      lambda bi, hi: (bi, 0, 0)))
 
     recent_cap = recent.capacity
