@@ -200,6 +200,7 @@ def prefill_compressed(
     max_decode_len: int = 128,
     use_flash: bool = False,
     lengths: Optional[Array] = None,
+    mesh=None,
 ) -> Tuple[Array, DecodeState, List[Dict[str, Array]]]:
     """Full-sequence prefill with per-layer real-time KV compression.
 
@@ -209,6 +210,11 @@ def prefill_compressed(
         masking already isolates real queries from padding keys; compression
         additionally never stores padding tokens, and last-position logits /
         decode positions follow the true lengths.
+      mesh: optional jax.sharding.Mesh — when given, the returned decode
+        state's layout is *committed* to the mesh (tier pools, rings and
+        decode pools sharded P(data, None, model, None); positions/validity
+        replicated over `model`) via sharding constraints, rather than left
+        to GSPMD propagation.
 
     Returns (logits for the last position [B, V], decode state, per-layer
     compression stats).
@@ -270,6 +276,9 @@ def prefill_compressed(
     logits = logits_from_hidden(params, last_h, cfg)
     state = DecodeState(caches=tuple(caches), recents=tuple(recents),
                         position=end_pos, pools=tuple(pools))
+    if mesh is not None:
+        from ..parallel.sharding import constrain_decode_state
+        state = constrain_decode_state(state, mesh)
     return logits, state, all_stats
 
 

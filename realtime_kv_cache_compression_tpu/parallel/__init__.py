@@ -1,9 +1,13 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, create_mesh, single_device_mesh
-from .sharding import (constrain_tier_cache, data_sharding, param_specs,
+from .sharding import (constrain_decode_pool, constrain_decode_state,
+                       constrain_layer_cache, constrain_recent_cache,
+                       constrain_tier_cache, data_sharding, param_specs,
                        shard_params, tier_cache_specs)
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "create_mesh", "single_device_mesh",
+    "constrain_decode_pool", "constrain_decode_state",
+    "constrain_layer_cache", "constrain_recent_cache",
     "constrain_tier_cache", "data_sharding", "param_specs", "shard_params",
     "tier_cache_specs",
 ]

@@ -95,14 +95,79 @@ def tier_cache_specs() -> Dict[str, P]:
     }
 
 
+def _constrain(x, spec: P, mesh: Mesh):
+    """with_sharding_constraint, dropping axes the shape can't honor."""
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, _feasible_spec(x, spec, mesh)))
+
+
 def constrain_tier_cache(tier, mesh: Mesh):
     """Apply sharding constraints to a TierCache inside jit."""
     import dataclasses as _dc
 
     specs = tier_cache_specs()
     updates = {
-        name: jax.lax.with_sharding_constraint(
-            getattr(tier, name), NamedSharding(mesh, spec))
+        name: _constrain(getattr(tier, name), spec, mesh)
         for name, spec in specs.items()
     }
     return _dc.replace(tier, **updates)
+
+
+def constrain_layer_cache(cache, mesh: Mesh):
+    """Constrain every tier of a CompressedLayerCache."""
+    import dataclasses as _dc
+
+    return _dc.replace(cache, tiers=tuple(
+        constrain_tier_cache(t, mesh) for t in cache.tiers))
+
+
+def constrain_recent_cache(recent, mesh: Mesh):
+    """Recent ring: batch on `data`, kv-heads on `model`."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        recent,
+        k=_constrain(recent.k, P(DATA_AXIS, None, MODEL_AXIS, None), mesh),
+        v=_constrain(recent.v, P(DATA_AXIS, None, MODEL_AXIS, None), mesh),
+        positions=_constrain(recent.positions, P(DATA_AXIS, None), mesh),
+        length=_constrain(recent.length, P(DATA_AXIS), mesh),
+    )
+
+
+def constrain_decode_pool(pool, mesh: Mesh):
+    """Decode pool: batch on `data`, kv-heads on `model` (None passthrough)."""
+    import dataclasses as _dc
+
+    if pool is None:
+        return None
+    four = P(DATA_AXIS, None, MODEL_AXIS, None)
+    return _dc.replace(
+        pool,
+        k_stored=_constrain(pool.k_stored, four, mesh),
+        v_stored=_constrain(pool.v_stored, four, mesh),
+        k_scale=_constrain(pool.k_scale, four, mesh),
+        k_zp=_constrain(pool.k_zp, four, mesh),
+        v_scale=_constrain(pool.v_scale, four, mesh),
+        v_zp=_constrain(pool.v_zp, four, mesh),
+        positions=_constrain(pool.positions, P(DATA_AXIS, None), mesh),
+        valid=_constrain(pool.valid, P(DATA_AXIS, None), mesh),
+        write_block=_constrain(pool.write_block, P(DATA_AXIS), mesh),
+    )
+
+
+def constrain_decode_state(state, mesh: Mesh):
+    """Commit the full DecodeState layout to the mesh: tier pools / recent
+    rings / decode pools at P(data, None, model, None), positions and
+    validity replicated over `model`. Called by prefill when a mesh is
+    passed, so the cache layout under GSPMD is *enforced*, not whatever
+    propagation happens to pick."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        state,
+        caches=tuple(constrain_layer_cache(c, mesh) for c in state.caches),
+        recents=tuple(constrain_recent_cache(r, mesh)
+                      for r in state.recents),
+        pools=tuple(constrain_decode_pool(p, mesh) for p in state.pools),
+        position=_constrain(state.position, P(DATA_AXIS), mesh),
+    )

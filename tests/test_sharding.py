@@ -100,6 +100,60 @@ def test_sharded_decode_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(l8), np.asarray(l1), atol=2e-4)
 
 
+def test_cache_sharding_committed(setup):
+    """VERDICT #3: the KV tier pools' committed layout on a 2x4 mesh is
+    P(data, None, model, None) — enforced by prefill(mesh=...), asserted on
+    the actual arrays, not just output numerics."""
+    from jax.sharding import NamedSharding
+
+    mcfg, _, params, ids = setup
+    # Pool-enabled config so decode pools get constrained too.
+    ccfg = CompressionConfig(num_layers=2, decode_pool_blocks=2,
+                             decode_pool_bits=8)
+    mesh = create_mesh(2, 4)
+    sharded = shard_params(params, mesh, mcfg)
+    ids_s = jax.device_put(ids, data_sharding(mesh))
+    with mesh:
+        fn = jax.jit(lambda p, i: llama.prefill_compressed(
+            p, i, mcfg, ccfg, max_decode_len=8, mesh=mesh))
+        logits, state, _ = fn(sharded, ids_s)
+
+    def expect(arr, *spec):
+        want = NamedSharding(mesh, P(*spec))
+        assert arr.sharding.is_equivalent_to(want, arr.ndim), (
+            arr.shape, arr.sharding, want)
+
+    for layer_cache in state.caches:
+        for t in layer_cache.tiers:
+            if t.capacity == 0:
+                continue
+            expect(t.k_stored, "data", None, "model", None)
+            expect(t.v_stored, "data", None, "model", None)
+            expect(t.k_scale, "data", None, "model", None)
+            expect(t.positions, "data", None)
+            expect(t.valid, "data", None)
+    for r in state.recents:
+        expect(r.k, "data", None, "model", None)
+        expect(r.length, "data")
+    for p in state.pools:
+        expect(p.k_stored, "data", None, "model", None)
+        expect(p.positions, "data", None)
+
+    # Numerics still match single-device under the enforced layout.
+    logits_1, _, _ = llama.prefill_compressed(params, ids, mcfg, ccfg,
+                                              max_decode_len=8)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_1),
+                               atol=2e-4)
+
+    # Decode over the committed layout keeps it (one step).
+    tok = jnp.full((ids.shape[0],), 7, jnp.int32)
+    with mesh:
+        step = jax.jit(lambda pr, t, s: llama.decode_step(pr, t, s, mcfg,
+                                                          ccfg))
+        _, state2 = step(sharded, tok, state)
+    expect(state2.recents[0].k, "data", None, "model", None)
+
+
 def test_sharded_train_step_runs_and_is_finite(setup):
     mcfg, _, params, ids = setup
     mesh = create_mesh(2, 4)
