@@ -40,7 +40,7 @@ def _interpret_default() -> bool:
 def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
                   m_scr, l_scr, acc_scr, pmass_scr,
                   *, sm_scale: float, block_q: int, block_k: int,
-                  kv_blocks: int):
+                  kv_blocks: int, causal: bool = True):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -52,8 +52,10 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
         pmass_scr[...] = jnp.zeros_like(pmass_scr)
 
     # Causal block skip: run only if the block's first column can be visible
-    # to the block's last row.
-    @pl.when(kv_idx * block_k <= (q_idx + 1) * block_q - 1)
+    # to the block's last row. (Non-causal: every block runs — used by the
+    # ring-attention off-diagonal pairs, where all keys precede all queries.)
+    @pl.when((kv_idx * block_k <= (q_idx + 1) * block_q - 1)
+             if causal else kv_idx >= 0)
     def _run():
         q = q_ref[0, 0].astype(jnp.float32)              # [bq, d]
         k = k_ref[0, 0].astype(jnp.float32)              # [bk, d]
@@ -61,11 +63,12 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
-            + q_idx * block_q
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
             + kv_idx * block_k
-        s = jnp.where(col_ids <= row_ids, s, DEFAULT_MASK_VALUE)
+        if causal:
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            s = jnp.where(col_ids <= row_ids, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]                               # [bq, LANES]
         l_prev = l_scr[...]
@@ -95,9 +98,12 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p, v, preferred_element_type=jnp.float32)
 
-    # Last kv block this q block needs (causal): write normalized output.
-    last_kv = jnp.minimum(((q_idx + 1) * block_q - 1) // block_k,
-                          kv_blocks - 1)
+    # Last kv block this q block needs: write normalized output.
+    if causal:
+        last_kv = jnp.minimum(((q_idx + 1) * block_q - 1) // block_k,
+                              kv_blocks - 1)
+    else:
+        last_kv = kv_blocks - 1
 
     @pl.when(kv_idx == last_kv)
     def _finalize():
@@ -111,22 +117,27 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
 
 def _flash_attention_bhsd(
     q: Array, k: Array, v: Array, plens: Array, *, sm_scale: float,
-    block_q: int, block_k: int, interpret: bool,
+    block_q: int, block_k: int, interpret: bool, causal: bool = True,
 ) -> Tuple[Array, Array, Array]:
-    """Causal flash attention on [B, H, S, D] tensors (S divisible by blocks).
+    """Flash attention on [B, H, S, D] tensors (S divisible by blocks).
 
-    plens: [B, 1, 1] int32 per-row prompt lengths.
-    Returns (o [B,Hq,S,D], lse [B,Hq,S], pmass [B,Hq,S]).
+    plens: [B, 1, 1] int32 per-row prompt lengths (of the KEY block, in the
+    key block's local coordinates).
+    causal=False computes full attention of every query over every key —
+    the ring-attention off-diagonal case (keys globally precede queries).
+    Returns (o [B,Hq,S,D], lse [B,Hq,S], pmass [B,Hq,S] — pmass normalized
+    by the softmax denominator, recoverable to unnormalized via exp(lse)).
     """
     b, hq, s, d = q.shape
     hkv = k.shape[1]
     n_rep = hq // hkv
-    nq, nkv = s // block_q, s // block_k
+    nq = s // block_q
+    nkv = k.shape[2] // block_k
 
     grid = (b, hq, nq, nkv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        kv_blocks=nkv)
+        kv_blocks=nkv, causal=causal)
     o, lse, pm = pl.pallas_call(
         kernel,
         grid=grid,
@@ -228,3 +239,59 @@ def flash_prefill_with_prompt_mass(
     o = o[:, :, :s]
     pm = pm[:, :, :s]
     return o.transpose(0, 2, 1, 3), pm.mean(axis=1)
+
+
+def flash_pair_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    plen_local: Array,
+    causal: bool,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array, Array]:
+    """One (query block, key block) pair of blockwise/ring attention.
+
+    The building block of sequence-parallel ring prefill (SURVEY.md §7.2
+    Phase 4): each pair returns partial-softmax statistics that merge
+    exactly across pairs via the standard log-sum-exp combination — the
+    prompt-mass side-channel participates in the same rescale, so the
+    merged mass equals the single-device value.
+
+    Args:
+      q: [B, S_q, H_q, D] queries (RoPE'd at their global positions).
+      k, v: [B, S_k, H_kv, D] one key block (same layout).
+      plen_local: [B] prompt length expressed in the KEY block's local
+        coordinates (clip(prompt_len - k_offset, 0, S_k)).
+      causal: True for the diagonal pair (q and k are the same block of the
+        global sequence); False when the key block globally precedes every
+        query (full attention). S_q/S_k must be divisible by the clamped
+        block sizes (no padding in pair mode — padded keys would be
+        unmaskable in the non-causal case).
+
+    Returns:
+      (o, lse, pmass): o [B, S_q, H_q, D] normalized partial output;
+      lse [B, H_q, S_q] log-sum-exp of this pair's scores; pmass
+      [B, H_q, S_q] PER-HEAD normalized prompt mass (the merge weights are
+      per-head, so averaging happens after merging). Rows with no visible
+      keys have lse = -inf and o = 0 (they vanish in the merge).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, sq, hq, d = q.shape
+    sk = k.shape[1]
+    sm_scale = 1.0 / (d ** 0.5)
+    block_q = min(block_q, max(8, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(8, 1 << (sk - 1).bit_length()))
+    if sq % block_q or sk % block_k:
+        raise ValueError(
+            f"pair attention requires block-divisible shards: "
+            f"S_q={sq} %% {block_q}, S_k={sk} %% {block_k}")
+    plens = plen_local.astype(jnp.int32).reshape(b, 1, 1)
+    o, lse, pm = _flash_attention_bhsd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), plens, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+        causal=causal)
+    return o.transpose(0, 2, 1, 3), lse, pm

@@ -1,11 +1,14 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, create_mesh, single_device_mesh
+from .ring_attention import ring_prefill_attention
+from .seq_parallel import SEQ_AXIS, create_seq_mesh, seq_parallel_prefill
 from .sharding import (constrain_decode_pool, constrain_decode_state,
                        constrain_layer_cache, constrain_recent_cache,
                        constrain_tier_cache, data_sharding, param_specs,
                        shard_params, tier_cache_specs)
 
 __all__ = [
-    "DATA_AXIS", "MODEL_AXIS", "create_mesh", "single_device_mesh",
+    "DATA_AXIS", "MODEL_AXIS", "SEQ_AXIS", "create_mesh", "create_seq_mesh",
+    "ring_prefill_attention", "seq_parallel_prefill", "single_device_mesh",
     "constrain_decode_pool", "constrain_decode_state",
     "constrain_layer_cache", "constrain_recent_cache",
     "constrain_tier_cache", "data_sharding", "param_specs", "shard_params",

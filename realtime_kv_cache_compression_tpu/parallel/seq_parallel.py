@@ -1,0 +1,128 @@
+"""Sequence-parallel compressed prefill: the full model forward with the
+prefill sequence axis sharded over a `seq` mesh axis.
+
+This is the TPU answer to long contexts the reference could only truncate
+(/root/reference/src/utils/data_utils.py:154-168): activations (the
+residual stream) live sharded [B, S/n, H]; attention runs as ring flash
+attention with the exact prompt-mass side-channel
+(parallel/ring_attention.py); only the compression step sees a full-length
+tensor — one layer's K/V at a time via `all_gather` over the seq axis
+(compressed pools are tiny and end up replicated, ready for decode on any
+mesh). Per-device attention memory never materializes S x S, and per-device
+activation memory is S/n.
+
+v1 scope: the mesh axis used here carries only the sequence; batch is
+replicated across it (compose data-parallel batches by calling this per
+data shard). Uniform (non-ragged) batches.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..compression.compressor import compress_layer_kv
+from ..compression.kv_cache import init_decode_pool, init_recent_cache
+from ..config import CompressionConfig, ModelConfig
+from .ring_attention import ring_prefill_attention
+
+Array = jax.Array
+
+SEQ_AXIS = "seq"
+
+
+def create_seq_mesh(n: int, devices=None) -> Mesh:
+    """A 1-axis mesh carrying the prefill sequence."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())[:n]
+    return Mesh(np.asarray(devices), (SEQ_AXIS,))
+
+
+def seq_parallel_prefill(
+    params,
+    input_ids: Array,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+    mesh: Mesh,
+    max_decode_len: int = 128,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, "DecodeState", List[Dict[str, Array]]]:
+    """Compressed prefill with S sharded over the mesh's `seq` axis.
+
+    Semantics match `models.llama.prefill_compressed` (uniform batches):
+    same logits, same compressed caches, same stats — verified to fp32
+    tolerance in tests/test_seq_parallel.py. S must divide the axis size,
+    and S/n must be divisible by the clamped flash block sizes.
+
+    Returns (last-position logits [B, V], replicated DecodeState, stats).
+    """
+    from ..models import llama
+
+    n_seq = mesh.shape[SEQ_AXIS]
+    b, s = input_ids.shape
+    if s % n_seq:
+        raise ValueError(f"S={s} must divide the seq axis ({n_seq})")
+    s_loc = s // n_seq
+    prompt_len = ccfg.prompt_length(s)
+    dtype = jnp.dtype(cfg.dtype)
+
+    def local_fn(params, ids_loc):
+        my = jax.lax.axis_index(SEQ_AXIS)
+        q_off = my * s_loc
+        positions = q_off + jnp.broadcast_to(jnp.arange(s_loc)[None],
+                                             (b, s_loc))
+        h = llama._embed_lookup(params["embed"], ids_loc, dtype)
+        cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+        caches, recents, pools, all_stats = [], [], [], []
+        for layer_idx, layer in enumerate(params["layers"]):
+            x = llama.rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
+            q, k, v = llama._qkv(layer, x, cfg)
+            q = llama.apply_rope(q, cos, sin)
+            k = llama.apply_rope(k, cos, sin)
+            attn_out, pmass_loc = ring_prefill_attention(
+                q, k, v, prompt_len, SEQ_AXIS, n_seq,
+                block_q=block_q, block_k=block_k, interpret=interpret)
+
+            # Compression needs the global sequence: gather ONE layer's K/V
+            # (already much smaller than attention's S x S, and freed after
+            # the pools are built). Selection/quantization run replicated,
+            # so the caches are identical on every shard by construction.
+            k_full = jax.lax.all_gather(k, SEQ_AXIS, axis=1, tiled=True)
+            v_full = jax.lax.all_gather(v, SEQ_AXIS, axis=1, tiled=True)
+            pm_full = jax.lax.all_gather(pmass_loc, SEQ_AXIS, axis=1,
+                                         tiled=True)
+            cache, stats = compress_layer_kv(k_full, v_full, pm_full,
+                                             layer_idx, ccfg, cfg)
+            caches.append(cache)
+            all_stats.append(stats)
+            recents.append(init_recent_cache(b, max_decode_len, cfg))
+            pools.append(init_decode_pool(b, max_decode_len, ccfg, cfg))
+
+            h = h + llama._matmul(attn_out.reshape(b, s_loc, cfg.q_dim),
+                                  layer["wo"])
+            h = h + llama._mlp(layer, llama.rmsnorm(
+                h, layer["post_norm"], cfg.rms_norm_eps))
+
+        # The global last position lives on the last shard; psum broadcasts
+        # its hidden state (all other shards contribute zeros).
+        last_h = jax.lax.psum(
+            jnp.where(my == n_seq - 1, h[:, -1], jnp.zeros_like(h[:, -1])),
+            SEQ_AXIS)
+        logits = llama.logits_from_hidden(params, last_h, cfg)
+        state = llama.DecodeState(
+            caches=tuple(caches), recents=tuple(recents),
+            position=jnp.full((b,), s, jnp.int32), pools=tuple(pools))
+        return logits, state, all_stats
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(P(), P(None, SEQ_AXIS)),
+                       out_specs=P(),
+                       check_vma=False)
+    return fn(params, input_ids)

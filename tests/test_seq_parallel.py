@@ -1,0 +1,116 @@
+"""Sequence-parallel (ring) prefill tests on the virtual CPU mesh.
+
+VERDICT round-1 item #1: S sharded 2-4 ways must match single-device
+logits AND prompt mass to fp32 tolerance — attention via ppermute-rotated
+flash pairs, compression on all-gathered per-layer K/V.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from realtime_kv_cache_compression_tpu import (CompressionConfig,
+                                               tiny_test_model)
+from realtime_kv_cache_compression_tpu.models import llama
+from realtime_kv_cache_compression_tpu.ops.attention import \
+    prefill_attention_with_prompt_mass
+from realtime_kv_cache_compression_tpu.parallel.ring_attention import \
+    ring_prefill_attention
+from realtime_kv_cache_compression_tpu.parallel.seq_parallel import (
+    SEQ_AXIS, create_seq_mesh, seq_parallel_prefill)
+
+MCFG = tiny_test_model(num_layers=3)
+
+
+def ccfg_for(prompt_frac=0.5, **kw):
+    # prompt_frac 0.5 at S=64 -> prompt_len 32, crossing shard boundaries
+    # on a 4-way split (the side-channel's hard case).
+    base = dict(num_layers=3, prompt_frac=prompt_frac)
+    base.update(kw)
+    return CompressionConfig(**base)
+
+
+@pytest.mark.parametrize("n_seq", [1, 2, 4])
+def test_ring_attention_matches_dense(rng, n_seq):
+    b, s, hq, hkv, d = 2, 64, 4, 2, 16
+    prompt_len = 24  # crosses the shard boundary for n_seq = 4
+    q = jnp.asarray(rng.normal(size=(b, s, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+
+    ref_out, ref_pm = prefill_attention_with_prompt_mass(q, k, v, prompt_len)
+
+    mesh = create_seq_mesh(n_seq)
+    fn = jax.shard_map(
+        lambda q, k, v: ring_prefill_attention(
+            q, k, v, prompt_len, SEQ_AXIS, n_seq, interpret=True),
+        mesh=mesh,
+        in_specs=(P(None, SEQ_AXIS), P(None, SEQ_AXIS), P(None, SEQ_AXIS)),
+        out_specs=(P(None, SEQ_AXIS), P(None, SEQ_AXIS)),
+        check_vma=False)
+    out, pm = jax.jit(fn)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(ref_pm),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_seq", [2, 4])
+def test_seq_parallel_prefill_matches_single_device(n_seq):
+    ccfg = ccfg_for()
+    params = llama.init_params(jax.random.PRNGKey(0), MCFG)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0,
+                             MCFG.vocab_size)
+
+    logits_1, state_1, stats_1 = llama.prefill_compressed(
+        params, ids, MCFG, ccfg, max_decode_len=8)
+
+    mesh = create_seq_mesh(n_seq)
+    logits_n, state_n, stats_n = seq_parallel_prefill(
+        params, ids, MCFG, ccfg, mesh, max_decode_len=8, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(logits_n), np.asarray(logits_1),
+                               rtol=1e-4, atol=1e-4)
+    # Selection identical (deterministic on the exact merged prompt mass).
+    for l in range(MCFG.num_layers):
+        np.testing.assert_array_equal(
+            np.asarray(stats_n[l]["kept_tokens"]),
+            np.asarray(stats_1[l]["kept_tokens"]))
+        for t1, tn in zip(state_1.caches[l].tiers, state_n.caches[l].tiers):
+            np.testing.assert_array_equal(np.asarray(tn.positions),
+                                          np.asarray(t1.positions))
+            np.testing.assert_array_equal(np.asarray(tn.valid),
+                                          np.asarray(t1.valid))
+
+
+def test_seq_parallel_then_decode():
+    """The replicated caches from a seq-parallel prefill drive the normal
+    decode loop; tokens match the single-device pipeline end-to-end."""
+    ccfg = ccfg_for()
+    params = llama.init_params(jax.random.PRNGKey(0), MCFG)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0,
+                             MCFG.vocab_size)
+
+    logits_1, state_1, _ = llama.prefill_compressed(params, ids, MCFG, ccfg,
+                                                    max_decode_len=12)
+    tok_1 = jnp.argmax(logits_1, axis=-1)
+    toks_1, _ = llama.decode_loop(params, tok_1, state_1, 10, MCFG, ccfg)
+
+    mesh = create_seq_mesh(4)
+    logits_n, state_n, _ = seq_parallel_prefill(params, ids, MCFG, ccfg,
+                                                mesh, max_decode_len=12,
+                                                interpret=True)
+    tok_n = jnp.argmax(logits_n, axis=-1)
+    toks_n, _ = llama.decode_loop(params, tok_n, state_n, 10, MCFG, ccfg)
+    np.testing.assert_array_equal(np.asarray(toks_1), np.asarray(toks_n))
+
+
+def test_seq_parallel_shape_validation():
+    ccfg = ccfg_for()
+    params = llama.init_params(jax.random.PRNGKey(0), MCFG)
+    ids = jnp.zeros((1, 60), jnp.int32)  # 60 % 8 != 0
+    mesh = create_seq_mesh(8)
+    with pytest.raises(ValueError):
+        seq_parallel_prefill(params, ids, MCFG, ccfg, mesh)
