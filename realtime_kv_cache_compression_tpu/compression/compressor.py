@@ -209,22 +209,16 @@ def _stats_stacker(n_layers: int, keys: Tuple[str, ...]):
     return _STACKERS[(n_layers, keys)]
 
 
-def summarize_layer_stats(layer_stats: List[Dict[str, Array]]) -> Dict[str, float]:
-    """Aggregate per-layer device stats into Python floats, once per sequence."""
-    if not layer_stats:
-        return {}
-    keys = tuple(sorted(layer_stats[0].keys()))
-    stacked = jax.device_get(
-        _stats_stacker(len(layer_stats), keys)(layer_stats))  # [L, K, 2]
-    ki = {k: i for i, k in enumerate(keys)}
-    n = len(layer_stats)
-    avg = lambda key: float(stacked[:, ki[key], 0].mean())
-    total_high = float(stacked[:, ki["stored_high"], 1].sum())
-    total_med = float(stacked[:, ki["stored_medium"], 1].sum())
-    total_low = float(stacked[:, ki["stored_low"], 1].sum())
+def _build_summary(mean_lk, sum_lk, ki: Dict[str, int], n: int
+                   ) -> Dict[str, float]:
+    """Summary dict from [L, K] per-layer (mean, sum) stat matrices."""
+    avg = lambda key: float(mean_lk[:, ki[key]].mean())
+    total_high = float(sum_lk[:, ki["stored_high"]].sum())
+    total_med = float(sum_lk[:, ki["stored_medium"]].sum())
+    total_low = float(sum_lk[:, ki["stored_low"]].sum())
     total_tokens = max(total_high + total_med + total_low, 1.0)
-    initial_seq = float(stacked[0, ki["seq_len"], 0])
-    final_kept = float(stacked[-1, ki["kept_tokens"], 0])
+    initial_seq = float(mean_lk[0, ki["seq_len"]])
+    final_kept = float(mean_lk[-1, ki["kept_tokens"]])
     return {
         "total_layers_processed": n,
         "avg_compression_ratio": avg("compression_ratio"),
@@ -239,3 +233,46 @@ def summarize_layer_stats(layer_stats: List[Dict[str, Array]]) -> Dict[str, floa
             "low_ratio": total_low / total_tokens,
         },
     }
+
+
+def summarize_layer_stats(layer_stats: List[Dict[str, Array]]) -> Dict[str, float]:
+    """Aggregate per-layer device stats into Python floats, once per sequence."""
+    if not layer_stats:
+        return {}
+    keys = tuple(sorted(layer_stats[0].keys()))
+    stacked = jax.device_get(
+        _stats_stacker(len(layer_stats), keys)(layer_stats))  # [L, K, 2]
+    ki = {k: i for i, k in enumerate(keys)}
+    return _build_summary(stacked[:, :, 0], stacked[:, :, 1], ki,
+                          len(layer_stats))
+
+
+def summarize_layer_stats_per_row(layer_stats: List[Dict[str, Array]],
+                                  batch: int) -> List[Dict[str, float]]:
+    """Per-batch-row summaries in ONE device transfer.
+
+    For batched serving admission: each admitted request gets its own row's
+    stats (batch-scalar stats broadcast to every row). One [L, K, B]
+    readback instead of B separate summarize calls.
+    """
+    if not layer_stats:
+        return [{} for _ in range(batch)]
+    keys = tuple(sorted(layer_stats[0].keys()))
+    cache_key = ("rows", len(layer_stats), keys, batch)
+    if cache_key not in _STACKERS:
+
+        def stack(stats):
+            rows = []
+            for s in stats:
+                row = [jnp.broadcast_to(
+                    jnp.asarray(s[k], jnp.float32).reshape(-1)[:batch]
+                    if jnp.asarray(s[k]).ndim else jnp.asarray(s[k], jnp.float32),
+                    (batch,)) for k in keys]
+                rows.append(jnp.stack(row))
+            return jnp.stack(rows)  # [L, K, B]
+
+        _STACKERS[cache_key] = jax.jit(stack)
+    arr = jax.device_get(_STACKERS[cache_key](layer_stats))
+    ki = {k: i for i, k in enumerate(keys)}
+    return [_build_summary(arr[:, :, b], arr[:, :, b], ki, len(layer_stats))
+            for b in range(batch)]

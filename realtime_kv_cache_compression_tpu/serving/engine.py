@@ -3,21 +3,29 @@
 North-star component (BASELINE.json config 5; the reference has no serving
 layer at all — generation is bare HF `model.generate`, longbench_eval.py:131).
 
-Design (single host, round 1):
+Design:
   * B fixed decode slots. Each slot holds one sequence's compressed tier
-    pools + recent ring + position (all batched pytrees indexed by slot).
-  * Admission: a pending request is prefilled at batch=1 (bucketed to the
-    serving context length), then its cache is scattered into a free slot —
-    a pure `tree_map` dynamic-update, O(cache bytes), no recompile.
+    pools + recent ring (+ decode pool) + position — all batched pytrees
+    indexed by slot.
+  * Admission: ALL pending requests that fit free slots prefill together in
+    ONE batched (ragged, right-padded) prefill — padded to a power-of-two
+    batch to bound compile count — then each row scatters into its slot (a
+    pure `tree_map` dynamic-update, O(cache bytes), no recompile).
+    Admission is asynchronous by default: the prefill dispatches without a
+    host sync and completion is polled via `Array.is_ready()` between
+    decode chunks, so prefills pipeline with decode.
   * Decode: one scanned multi-step program advances ALL active slots;
     finished slots (EOS or token budget) are freed and refilled.
   * Static shapes throughout: slot count, context bucket, recent-ring
     capacity are fixed at engine build; per-sequence raggedness lives in
     positions/validity values.
-
-Multi-host plan (round 2+): slots shard over the `data` mesh axis, weights
-and tier pools over `model`; admission runs on the host owning the slot's
-data shard; the decode program is one pjit over the full mesh.
+  * Sharded serving (`mesh=`): weights shard tensor-parallel over `model`,
+    slots (the decode batch) over `data`, and the KV tier pools commit to
+    P(data, None, model, None) via prefill's sharding constraints
+    (parallel/sharding.py). The decode program is one jit over the full
+    mesh; admission inserts a replicated single-row state into the slot's
+    data shard (GSPMD places the copy). num_slots must divide the data
+    axis.
 """
 
 from __future__ import annotations
@@ -30,7 +38,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..compression.compressor import summarize_layer_stats
+from ..compression.compressor import (summarize_layer_stats,
+                                      summarize_layer_stats_per_row)
 from ..config import CompressionConfig, ModelConfig
 from ..models import llama
 
@@ -50,26 +59,29 @@ class Request:
     finished_at: Optional[float] = None
 
 
-def _tree_insert(batched, single, slot: int):
-    """Scatter a batch=1 pytree into slot `slot` of a batched pytree."""
+def _tree_insert_row(batched, multi, row, slot):
+    """Scatter row `row` of a batched pytree into slot `slot` of another."""
+    row = jnp.asarray(row, jnp.int32)
+    slot = jnp.asarray(slot, jnp.int32)
     return jax.tree_util.tree_map(
-        lambda b, s: jax.lax.dynamic_update_index_in_dim(b, s[0], slot,
-                                                         axis=0),
-        batched, single)
+        lambda b, m: jax.lax.dynamic_update_index_in_dim(
+            b, jax.lax.dynamic_index_in_dim(m, row, axis=0, keepdims=False),
+            slot, axis=0),
+        batched, multi)
 
 
 class ServingEngine:
-    """Greedy-decoding continuous-batching engine (single host)."""
+    """Greedy/sampled continuous-batching engine (single host or mesh)."""
 
     def __init__(self, params, mcfg: ModelConfig, ccfg: CompressionConfig,
                  num_slots: int = 4, context_len: int = 2048,
                  max_new_tokens: int = 128, decode_chunk: int = 8,
                  use_flash: bool = False, use_fused_decode: bool = False,
                  eos_token_id: Optional[int] = None,
-                 async_admission: bool = False,
+                 async_admission: bool = True,
                  temperature: float = 0.0,
-                 seed: int = 0):
-        self.params = params
+                 seed: int = 0,
+                 mesh=None):
         self.mcfg = mcfg
         self.ccfg = ccfg
         self.num_slots = num_slots
@@ -77,10 +89,23 @@ class ServingEngine:
         self.max_new_tokens = max_new_tokens
         self.decode_chunk = decode_chunk
         self.eos_token_id = eos_token_id
+        self.mesh = mesh
+
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.sharding import shard_params
+
+            if num_slots % mesh.shape[DATA_AXIS]:
+                raise ValueError(
+                    f"num_slots={num_slots} must divide the data axis "
+                    f"({mesh.shape[DATA_AXIS]})")
+            params = shard_params(params, mesh, mcfg)
+        self.params = params
 
         self.async_admission = async_admission
         self._pending: deque[Request] = deque()
-        self._inflight: List = []  # (req, slot, logits, state1, stats)
+        # Each entry: (pairs [(req, slot), ...], logits, state, stats)
+        self._inflight: List = []
         self._slots: List[Optional[Request]] = [None] * num_slots
         self._slot_budget = [0] * num_slots
         self._next_rid = 0
@@ -88,9 +113,11 @@ class ServingEngine:
 
         self._prefill = jax.jit(lambda p, i, n: llama.prefill_compressed(
             p, i, mcfg, ccfg, max_decode_len=max_new_tokens,
-            use_flash=use_flash, lengths=n))
-        self._insert = jax.jit(_tree_insert)  # one dispatch, not hundreds
-        # Multi-step batched decode; returns per-step tokens for all slots.
+            use_flash=use_flash, lengths=n, mesh=mesh))
+        self._insert = jax.jit(_tree_insert_row)  # one dispatch per insert
+        self._materialize = jax.jit(
+            lambda s: jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x[:1], num_slots, axis=0), s))
         self.temperature = temperature
         self._rng = jax.random.PRNGKey(seed)
         self._decode = jax.jit(lambda p, t, s, k: llama.decode_loop(
@@ -128,43 +155,64 @@ class ServingEngine:
 
     # -- internals ----------------------------------------------------------
 
-    def _bucket_ids(self, ids: List[int]) -> Tuple[Array, Array]:
+    def _bucket_ids(self, ids: List[int]) -> Tuple[List[int], int]:
         """Right-pad to the serving bucket; true length rides along (ragged
         prefill never stores or attends padding)."""
         from ..utils.data import truncate_middle
 
         ids = truncate_middle(ids, self.context_len)
         length = len(ids)
-        ids = ids + [0] * (self.context_len - length)
-        return (jnp.asarray(ids, jnp.int32)[None],
-                jnp.asarray([length], jnp.int32))
+        return ids + [0] * (self.context_len - length), length
 
-    def _admit(self, req: Request, slot: int):
-        t0 = time.time()
-        ids, lengths = self._bucket_ids(req.input_ids)
-        logits, state1, stats = self._prefill(self.params, ids, lengths)
-        first_tok = jnp.argmax(logits, axis=-1)  # [1]
-        tok0 = int(first_tok[0])  # forces prefill completion
-        req.ttft = time.time() - t0
-        # Keep stats on device; summarize lazily at completion (a ~30 ms-RTT
-        # relay makes eager per-layer syncing cost seconds per request).
-        req.prefill_stats = stats
-        req.tokens.append(tok0)
+    def _start_admissions(self, pairs: List[Tuple[Request, int]]):
+        """One batched prefill for every admitted request (padded to a
+        power-of-two batch so compile count stays O(log slots)); dispatched
+        WITHOUT a host sync — completion is polled via Array.is_ready()
+        between decode chunks, so admission pipelines with decode."""
+        rows, lengths = [], []
+        for req, _slot in pairs:
+            ids, length = self._bucket_ids(req.input_ids)
+            rows.append(ids)
+            lengths.append(length)
+        bsz = 1 << (len(rows) - 1).bit_length()
+        while len(rows) < bsz:  # pad rows: prefilled but never inserted
+            rows.append(rows[0])
+            lengths.append(lengths[0])
+        ids_arr = jnp.asarray(rows, jnp.int32)
+        len_arr = jnp.asarray(lengths, jnp.int32)
+        if self.mesh is not None:
+            from ..parallel.sharding import data_sharding
+            feasible = bsz % self.mesh.shape["data"] == 0
+            if feasible:
+                ids_arr = jax.device_put(ids_arr, data_sharding(self.mesh))
+        logits, state, stats = self._prefill(self.params, ids_arr, len_arr)
+        for req, slot in pairs:
+            self._slots[slot] = req  # reserve; not active until ready
+        self._inflight.append((pairs, logits, state, stats))
 
+    def _complete_admission(self, pairs, logits, state, stats):
+        first_toks = jnp.argmax(logits, axis=-1)  # [bsz]
+        toks_host = jax.device_get(first_toks)
+        row_stats = summarize_layer_stats_per_row(stats, len(pairs))
         if self._state is None:
-            # Materialize the batched state by broadcasting the first
-            # sequence's shapes across slots.
-            self._state = jax.tree_util.tree_map(
-                lambda x: jnp.concatenate([x] * self.num_slots, axis=0),
-                state1)
+            self._state = self._materialize(state)
+            if self.mesh is not None:
+                from ..parallel.sharding import constrain_decode_state
+                self._state = jax.jit(
+                    lambda s: constrain_decode_state(s, self.mesh))(
+                        self._state)
             self._last_tokens = jnp.zeros((self.num_slots,), jnp.int32)
-        self._state = self._insert(self._state, state1, slot)
-        self._last_tokens = self._last_tokens.at[slot].set(first_tok[0])
-        self._slots[slot] = req
-        self._slot_budget[slot] = req.max_new_tokens - 1
-        self._active_mask[slot] = True
-        if self._slot_budget[slot] <= 0:
-            self._finish(slot)
+        for row, (req, slot) in enumerate(pairs):
+            tok0 = int(toks_host[row])
+            req.ttft = time.time() - req.submitted_at
+            req.prefill_stats = row_stats[row]
+            req.tokens.append(tok0)
+            self._state = self._insert(self._state, state, row, slot)
+            self._last_tokens = self._last_tokens.at[slot].set(tok0)
+            self._slot_budget[slot] = req.max_new_tokens - 1
+            self._active_mask[slot] = True
+            if self._slot_budget[slot] <= 0:
+                self._finish(slot)
 
     def _finish(self, slot: int):
         req = self._slots[slot]
@@ -177,54 +225,26 @@ class ServingEngine:
         self._slots[slot] = None
         self._active_mask[slot] = False
 
-    # -- overlapped admission -----------------------------------------------
-
-    def _start_admission(self, req: Request, slot: int):
-        """Dispatch the prefill WITHOUT a host sync; completion is polled via
-        Array.is_ready() between decode chunks, so admissions pipeline with
-        decode instead of stalling the loop on a host round-trip."""
-        ids, lengths = self._bucket_ids(req.input_ids)
-        logits, state1, stats = self._prefill(self.params, ids, lengths)
-        self._slots[slot] = req  # reserve; not active until ready
-        self._inflight.append((req, slot, logits, state1, stats))
-
-    def _complete_admission(self, req: Request, slot: int, logits, state1,
-                            stats):
-        first_tok = jnp.argmax(logits, axis=-1)
-        tok0 = int(first_tok[0])
-        req.ttft = time.time() - req.submitted_at
-        req.prefill_stats = stats
-        req.tokens.append(tok0)
-        if self._state is None:
-            self._state = jax.tree_util.tree_map(
-                lambda x: jnp.concatenate([x] * self.num_slots, axis=0),
-                state1)
-            self._last_tokens = jnp.zeros((self.num_slots,), jnp.int32)
-        self._state = self._insert(self._state, state1, slot)
-        self._last_tokens = self._last_tokens.at[slot].set(tok0)
-        self._slot_budget[slot] = req.max_new_tokens - 1
-        self._active_mask[slot] = True
-        if self._slot_budget[slot] <= 0:
-            self._finish(slot)
-
     def _poll_inflight(self, force: bool = False):
         still = []
         for item in self._inflight:
-            req, slot, logits, state1, stats = item
+            pairs, logits, state, stats = item
             if force or logits.is_ready():
-                self._complete_admission(req, slot, logits, state1, stats)
+                self._complete_admission(pairs, logits, state, stats)
             else:
                 still.append(item)
         self._inflight = still
 
     def step(self):
-        # 1) Admit pending requests into free slots.
+        # 1) Admit pending requests into free slots — one batched prefill.
+        pairs = []
         for slot in range(self.num_slots):
             if self._slots[slot] is None and self._pending:
-                if self.async_admission:
-                    self._start_admission(self._pending.popleft(), slot)
-                else:
-                    self._admit(self._pending.popleft(), slot)
+                pairs.append((self._pending.popleft(), slot))
+        if pairs:
+            self._start_admissions(pairs)
+            if not self.async_admission:
+                self._poll_inflight(force=True)
         if self.async_admission:
             # Nothing to decode yet → block on the oldest admission.
             self._poll_inflight(force=not any(self._active_mask))
