@@ -98,12 +98,15 @@ def compress_layer_kv(
     for slot, tier in enumerate((HIGH, MID, LOW)):
         idx, valid = sel.indices[slot], sel.valid[slot]
         bits = cfg.tier_bits(tier)
+        chunk = cfg.tier_chunk(idx.shape[1])
         k_t = _gather_tokens(k, idx)
         v_t = _gather_tokens(v, idx)
         k_stored, k_scale, k_zp = quantize_tier(
-            k_t, bits, group_size, store_dtype, clip_frac=cfg.quant_clip_frac)
+            k_t, bits, group_size, store_dtype, clip_frac=cfg.quant_clip_frac,
+            chunk=chunk)
         v_stored, v_scale, v_zp = quantize_tier(
-            v_t, bits, group_size, store_dtype, clip_frac=cfg.quant_clip_frac)
+            v_t, bits, group_size, store_dtype, clip_frac=cfg.quant_clip_frac,
+            chunk=chunk)
         tiers.append(TierCache(
             k_stored=k_stored, v_stored=v_stored,
             k_scale=k_scale, k_zp=k_zp, v_scale=v_scale, v_zp=v_zp,
@@ -174,8 +177,11 @@ def dequantize_layer_cache(
         if t.capacity == 0:
             continue
         bits = cfg.tier_bits(tier)
-        ks.append(dequantize_tier(t.k_stored, t.k_scale, t.k_zp, bits, dtype))
-        vs.append(dequantize_tier(t.v_stored, t.v_scale, t.v_zp, bits, dtype))
+        chunk = cfg.tier_chunk(t.capacity)
+        ks.append(dequantize_tier(t.k_stored, t.k_scale, t.k_zp, bits, dtype,
+                                  chunk=chunk))
+        vs.append(dequantize_tier(t.v_stored, t.v_scale, t.v_zp, bits, dtype,
+                                  chunk=chunk))
         ps.append(t.positions)
         valids.append(t.valid)
     return (jnp.concatenate(ks, axis=1), jnp.concatenate(vs, axis=1),

@@ -138,6 +138,14 @@ class CompressionConfig:
     # Round selected-slot capacities up to this multiple for TPU lane friendliness.
     slot_align: int = 8
 
+    # Tokens per sub-byte packing chunk (ops/quantization.pack_codes):
+    # strided packing runs independently inside each chunk, so a chunk's
+    # byte rows map to a CONTIGUOUS token range — the segment granularity
+    # of the single-launch fused decode kernel (its grid walks chunks, with
+    # scales/positions slicing contiguously). Tier capacities above this
+    # round up to a multiple of it (<= chunk-1 extra masked slots per tier).
+    pack_chunk_tokens: int = 128
+
     def __post_init__(self):
         for bits in (self.high_precision_bits, self.medium_precision_bits,
                      self.low_precision_bits):
@@ -157,6 +165,9 @@ class CompressionConfig:
         if self.threshold_tier_slack < 1.0:
             raise ValueError("threshold_tier_slack must be >= 1.0 "
                              "(pools must hold every selected token)")
+        if self.pack_chunk_tokens < 8 or self.pack_chunk_tokens % 4:
+            raise ValueError("pack_chunk_tokens must be >= 8 and a multiple "
+                             "of 4 (tokens per byte at 2-bit packing)")
         if self.decode_pool_bits not in VALID_BITS:
             raise ValueError(
                 f"decode_pool_bits {self.decode_pool_bits} not in {VALID_BITS}")
@@ -236,12 +247,26 @@ class CompressionConfig:
                                    self.slot_align))
                 for f in self.tier_fractions)
             assert sum(caps) >= limit
-            return caps
+            return tuple(self._chunk_align(c) for c in caps)
         n_h, n_m = self.tier_limits(limit)
         n_l = limit - n_h - n_m
-        return (_round_up(n_h, self.slot_align) if n_h else 0,
-                _round_up(n_m, self.slot_align) if n_m else 0,
-                _round_up(n_l, self.slot_align) if n_l else 0)
+        return tuple(
+            self._chunk_align(_round_up(n, self.slot_align)) if n else 0
+            for n in (n_h, n_m, n_l))
+
+    def _chunk_align(self, cap: int) -> int:
+        """Capacities above one packing chunk round to a chunk multiple so
+        chunked packing (and the decode kernel's segment grid) divides."""
+        if cap > self.pack_chunk_tokens:
+            return _round_up(cap, self.pack_chunk_tokens)
+        return cap
+
+    def tier_chunk(self, capacity: int) -> Optional[int]:
+        """Packing chunk for a tier of `capacity` slots (None = one chunk)."""
+        if (capacity > self.pack_chunk_tokens
+                and capacity % self.pack_chunk_tokens == 0):
+            return self.pack_chunk_tokens
+        return None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -97,6 +97,9 @@ def _matmul(x: Array, w) -> Array:
     from .quantized_params import QuantizedTensor
 
     if isinstance(w, QuantizedTensor):
+        if w.act_quant and w.axis == 1:
+            from ..ops.pallas.int8_matmul import dynamic_int8_matmul
+            return dynamic_int8_matmul(x, w.q, w.scale)
         y = jnp.dot(x, w.q.astype(x.dtype),
                     preferred_element_type=jnp.float32)
         return (y * w.scale[None, :]).astype(x.dtype)

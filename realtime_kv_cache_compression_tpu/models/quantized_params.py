@@ -6,9 +6,12 @@ GB, fitting 4K+ contexts on one 16 GB chip) and the weight-streaming floor
 of decode latency. Norm vectors stay in full precision; the embedding table
 quantizes per row (gather → scale).
 
-Matmul execution: `llama._matmul` dispatches on `QuantizedTensor`; the XLA
-path dequantizes the weight operand into the dot (convert fuses on TPU for
-streaming operands).
+Matmul execution: `llama._matmul` dispatches on `QuantizedTensor`. Default:
+the XLA path dequantizes the weight operand into the dot (convert fuses on
+TPU for streaming operands). With `act_quant=True`
+(quantize_params(..., act_quant=True)), activations quantize per token on
+the fly and the matmul runs int8 x int8 -> int32 on the MXU through
+`ops/pallas/int8_matmul.py` — double the bf16 MXU rate on v5e.
 """
 
 from __future__ import annotations
@@ -34,6 +37,10 @@ class QuantizedTensor:
     q: Array
     scale: Array
     axis: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # int8 x int8 MXU path: quantize activations per token and run the
+    # Pallas int8 matmul kernel instead of dequantizing the weight.
+    act_quant: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
 
     @property
     def shape(self):
@@ -47,7 +54,8 @@ class QuantizedTensor:
         return (self.q.astype(jnp.float32) * scale[None, :]).astype(dtype)
 
 
-def quantize_tensor(w: Array, axis: int = 1) -> QuantizedTensor:
+def quantize_tensor(w: Array, axis: int = 1,
+                    act_quant: bool = False) -> QuantizedTensor:
     """Symmetric int8 quantization along `axis` (the preserved channel)."""
     wf = w.astype(jnp.float32)
     reduce_axis = 1 - axis
@@ -55,29 +63,37 @@ def quantize_tensor(w: Array, axis: int = 1) -> QuantizedTensor:
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     scale_b = scale[:, None] if axis == 0 else scale[None, :]
     q = jnp.clip(jnp.round(wf / scale_b), -127, 127).astype(jnp.int8)
-    return QuantizedTensor(q=q, scale=scale, axis=axis)
+    return QuantizedTensor(q=q, scale=scale, axis=axis, act_quant=act_quant)
 
 
 _MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize all matmul weights (+ embed/lm_head) of a llama params tree."""
+def quantize_params(params: Dict[str, Any],
+                    act_quant: bool = False) -> Dict[str, Any]:
+    """Quantize all matmul weights (+ embed/lm_head) of a llama params tree.
+
+    act_quant=True additionally routes these matmuls through the int8 x int8
+    MXU kernel with on-the-fly activation quantization.
+    """
     out: Dict[str, Any] = {}
     out["embed"] = quantize_tensor(params["embed"], axis=0)  # per-row
     out["final_norm"] = params["final_norm"]
     if "lm_head" in params:
-        out["lm_head"] = quantize_tensor(params["lm_head"], axis=1)
+        out["lm_head"] = quantize_tensor(params["lm_head"], axis=1,
+                                         act_quant=act_quant)
     out["layers"] = []
     for layer in params["layers"]:
         ql = {}
         for k, v in layer.items():
-            ql[k] = quantize_tensor(v, axis=1) if k in _MATMUL_KEYS else v
+            ql[k] = (quantize_tensor(v, axis=1, act_quant=act_quant)
+                     if k in _MATMUL_KEYS else v)
         out["layers"].append(ql)
     return out
 
 
-def quantize_params_streaming(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_params_streaming(params: Dict[str, Any],
+                              act_quant: bool = False) -> Dict[str, Any]:
     """Like `quantize_params`, but CONSUMES the input tree: each fp weight is
     freed as soon as its int8 replacement exists, so peak HBM is
     fp_total + one tensor instead of fp_total + int8_total. Use when the fp
@@ -87,7 +103,8 @@ def quantize_params_streaming(params: Dict[str, Any]) -> Dict[str, Any]:
     params["embed"] = None
     out["final_norm"] = params.pop("final_norm")
     if "lm_head" in params:
-        out["lm_head"] = quantize_tensor(params["lm_head"], axis=1)
+        out["lm_head"] = quantize_tensor(params["lm_head"], axis=1,
+                                         act_quant=act_quant)
         params["lm_head"] = None
     layers = params["layers"]
     for i in range(len(layers)):
@@ -95,7 +112,8 @@ def quantize_params_streaming(params: Dict[str, Any]) -> Dict[str, Any]:
         ql = {}
         for k in list(layer.keys()):
             v = layer.pop(k)
-            ql[k] = quantize_tensor(v, axis=1) if k in _MATMUL_KEYS else v
+            ql[k] = (quantize_tensor(v, axis=1, act_quant=act_quant)
+                     if k in _MATMUL_KEYS else v)
             del v
         layers[i] = None
         out["layers"].append(ql)

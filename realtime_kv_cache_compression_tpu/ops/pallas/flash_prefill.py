@@ -29,7 +29,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-NUM_LANES = 128
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -57,11 +56,13 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
     @pl.when((kv_idx * block_k <= (q_idx + 1) * block_q - 1)
              if causal else kv_idx >= 0)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)              # [bq, d]
-        k = k_ref[0, 0].astype(jnp.float32)              # [bk, d]
+        # Keep q/k/v in their input dtype for the dots (bf16 runs the MXU at
+        # native rate with f32 accumulation; f32 inputs behave as before).
+        q = q_ref[0, 0]                                  # [bq, d]
+        k = k_ref[0, 0]                                  # [bk, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+            preferred_element_type=jnp.float32) * sm_scale  # [bq, bk] f32
 
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
             + kv_idx * block_k
@@ -70,16 +71,14 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
                 jnp.int32, (block_q, block_k), 0) + q_idx * block_q
             s = jnp.where(col_ids <= row_ids, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[...]                               # [bq, LANES]
+        m_prev = m_scr[...]                               # [bq, 1]
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1, keepdims=True)        # [bq, 1]
-        m_next = jnp.maximum(m_prev[:, :1], m_curr)       # [bq, 1]
-        alpha = jnp.exp(m_prev[:, :1] - m_next)           # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)              # [bq, 1]
+        alpha = jnp.exp(m_prev - m_next)                  # [bq, 1]
         p = jnp.exp(s - m_next)                           # [bq, bk]
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
         # Prompt-mass side-channel: same running-rescale as l, but summing
         # only prompt columns (col < P_b, causality already applied to p via
@@ -87,16 +86,14 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
         # every block; the column sum only where the block overlaps the
         # prompt prefix.
         plen = plen_ref[0]                                # [1, 1]
-        pmass_prev = pmass_scr[...][:, :1]
         in_prompt_block = kv_idx * block_k < plen[0, 0]
         pmask = (col_ids < plen) & in_prompt_block
         contrib = jnp.sum(jnp.where(pmask, p, 0.0), axis=1, keepdims=True)
-        pmass_scr[...] = jnp.broadcast_to(alpha * pmass_prev + contrib,
-                                          pmass_scr.shape)
+        pmass_scr[...] = alpha * pmass_scr[...] + contrib
 
-        v = v_ref[0, 0].astype(jnp.float32)               # [bk, d]
+        v = v_ref[0, 0]                                   # [bk, d]
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     # Last kv block this q block needs: write normalized output.
     if causal:
@@ -107,12 +104,12 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
 
     @pl.when(kv_idx == last_kv)
     def _finalize():
-        l = l_scr[...][:, :1]
+        l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = m_scr[...][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
+        lse = m_scr[...] + jnp.log(jnp.maximum(l, 1e-30))
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)          # [bq, 1]
-        pm_ref[0, 0] = (pmass_scr[...][:, :1] * l_inv).astype(pm_ref.dtype)
+        pm_ref[0, 0] = (pmass_scr[...] * l_inv).astype(pm_ref.dtype)
 
 
 def _flash_attention_bhsd(
@@ -162,10 +159,10 @@ def _flash_attention_bhsd(
             jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",

@@ -19,7 +19,7 @@ Capability parity with the reference `DynamicPrecisionQuantizer`
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -135,7 +135,8 @@ def dequantize(codes_f: Array, scale: Array, zero_point: Array,
 # Physical bit packing (the part the reference only pretended to do)
 # ---------------------------------------------------------------------------
 
-def pack_codes(codes: Array, bits: int, axis: int = -3) -> Array:
+def pack_codes(codes: Array, bits: int, axis: int = -3,
+               chunk: Optional[int] = None) -> Array:
     """Pack uint8 codes (< 2^bits) sub-byte along `axis` (token axis).
 
     Strided token-axis packing: with R = ceil(N / (8/bits)) byte rows, token
@@ -145,14 +146,31 @@ def pack_codes(codes: Array, bits: int, axis: int = -3) -> Array:
     (channel-axis packing would need a lane reshuffle; interleaved packing
     would need an element-repeat).
 
+    With `chunk` (a multiple of 8 // bits that divides the token count),
+    packing is strided *within each chunk of `chunk` tokens independently*:
+    chunk c's tokens occupy byte rows [c*chunk/pb, (c+1)*chunk/pb), so a row
+    range covering whole chunks corresponds to a CONTIGUOUS token range —
+    the property the single-launch decode kernel's segment grid needs
+    (scales/positions slice contiguously per segment). chunk=None packs the
+    whole axis as one chunk (the round-1 layout).
+
     8 bits → identity; 4 bits → 2 tokens/byte; 2 bits → 4 tokens/byte.
-    The token count is zero-padded to a multiple of 8 // bits.
+    The token count is zero-padded to a multiple of 8 // bits (chunk=None).
     """
     if bits == 8:
         return codes
     axis = axis % codes.ndim
     per_byte = 8 // bits
     n = codes.shape[axis]
+    if chunk is not None and chunk < n:
+        if chunk % per_byte or n % chunk:
+            raise ValueError(f"chunk {chunk} must divide tokens {n} and be "
+                             f"a multiple of {per_byte}")
+        nc = n // chunk
+        shp = codes.shape
+        cg = codes.reshape(shp[:axis] + (nc, chunk) + shp[axis + 1:])
+        packed = pack_codes(cg, bits, axis=axis + 1)
+        return packed.reshape(shp[:axis] + (n // per_byte,) + shp[axis + 1:])
     pad = (-n) % per_byte
     if pad:
         widths = [(0, 0)] * codes.ndim
@@ -168,13 +186,20 @@ def pack_codes(codes: Array, bits: int, axis: int = -3) -> Array:
 
 
 def unpack_codes(packed: Array, bits: int, num_tokens: int,
-                 axis: int = -3) -> Array:
+                 axis: int = -3, chunk: Optional[int] = None) -> Array:
     """Inverse of `pack_codes`: packed bytes → uint8 codes ([num_tokens] along
     `axis`). Pure shift+mask+concat (kernel-friendly)."""
     if bits == 8:
         return packed
     axis = axis % packed.ndim
     per_byte = 8 // bits
+    if chunk is not None and chunk < num_tokens:
+        rows_c = chunk // per_byte
+        nc = packed.shape[axis] // rows_c
+        shp = packed.shape
+        pg = packed.reshape(shp[:axis] + (nc, rows_c) + shp[axis + 1:])
+        codes = unpack_codes(pg, bits, chunk, axis=axis + 1)
+        return codes.reshape(shp[:axis] + (nc * chunk,) + shp[axis + 1:])
     mask = jnp.uint8(2 ** bits - 1)
     parts = [(packed >> jnp.uint8(j * bits)) & mask for j in range(per_byte)]
     codes = jnp.concatenate(parts, axis=axis)
@@ -183,7 +208,8 @@ def unpack_codes(packed: Array, bits: int, num_tokens: int,
 
 def quantize_tier(x: Array, bits: int, group_size: int,
                   store_dtype=jnp.bfloat16,
-                  clip_frac: float = 0.0) -> Tuple[Array, Array, Array]:
+                  clip_frac: float = 0.0,
+                  chunk: Optional[int] = None) -> Tuple[Array, Array, Array]:
     """Quantize + physically pack one precision tier.
 
     Args:
@@ -191,6 +217,8 @@ def quantize_tier(x: Array, bits: int, group_size: int,
         along the token axis -3).
       bits: tier bit width; 16 stores raw `store_dtype` with unit scales.
       group_size: channels per scale group.
+      chunk: tokens per packing chunk (see pack_codes) — the decode
+        kernel's segment granularity. None = whole-axis strided.
 
     Returns:
       (stored, scale, zero_point) — `stored` is uint8 token-packed codes
@@ -204,16 +232,16 @@ def quantize_tier(x: Array, bits: int, group_size: int,
         return x.astype(store_dtype), ones, zeros
     scale, zp = quant_params(x, bits, group_size, clip_frac=clip_frac)
     codes = quantize(x, scale, zp, bits)
-    return pack_codes(codes, bits, axis=-3), scale, zp
+    return pack_codes(codes, bits, axis=-3, chunk=chunk), scale, zp
 
 
 def dequantize_tier(stored: Array, scale: Array, zero_point: Array, bits: int,
-                    dtype=jnp.float32) -> Array:
+                    dtype=jnp.float32, chunk: Optional[int] = None) -> Array:
     """Unpack + dequantize one tier back to float [..., N, H, D]."""
     if bits == 16:
         return stored.astype(dtype)
     num_tokens = scale.shape[-3]
-    codes = unpack_codes(stored, bits, num_tokens, axis=-3)
+    codes = unpack_codes(stored, bits, num_tokens, axis=-3, chunk=chunk)
     return dequantize(codes.astype(jnp.float32), scale, zero_point, dtype)
 
 

@@ -97,34 +97,52 @@ def test_fused_empty_recent(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("segment_tokens", [16, 64])
-def test_segmented_fused_matches_xla(rng, segment_tokens):
-    """Segmented (VMEM-safe) fused decode == XLA path, including multi-
-    segment pools and the recent ring."""
-    from realtime_kv_cache_compression_tpu.ops.pallas.decode_attention import (
-        fused_decode_attention_segmented)
-
+@pytest.mark.parametrize("chunk", [16, 64])
+def test_multi_segment_chunked_matches_xla(rng, chunk):
+    """Small pack_chunk_tokens forces multi-segment tiers: the single-launch
+    kernel walks every chunk with carried softmax state == XLA path."""
     mcfg = tiny_test_model(num_kv_heads=2, num_heads=4, head_dim=32)
-    q, cache, recent, q_pos, ccfg = build_state(rng, s=128, mcfg=mcfg)
+    ccfg = CompressionConfig(num_layers=mcfg.num_layers,
+                             high_precision_bits=8, medium_precision_bits=4,
+                             low_precision_bits=2, pack_chunk_tokens=chunk)
+    q, cache, recent, q_pos, ccfg = build_state(rng, s=256, mcfg=mcfg,
+                                                ccfg=ccfg)
+    # Multi-segment check: at least one tier spans > 1 chunk.
+    assert any(t.capacity > chunk for t in cache.tiers)
     ref = xla_reference(q, cache, recent, q_pos, ccfg)
-    out = fused_decode_attention_segmented(q, cache, recent, q_pos, ccfg,
-                                           interpret=True,
-                                           segment_tokens=segment_tokens)
+    out = fused_decode_attention(q, cache, recent, q_pos, ccfg,
+                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_segmented_fused_16bit_tier(rng):
-    from realtime_kv_cache_compression_tpu.ops.pallas.decode_attention import (
-        fused_decode_attention_segmented)
-
+def test_chunked_16bit_tier(rng):
     mcfg = tiny_test_model(num_kv_heads=2, num_heads=4, head_dim=32)
     ccfg = CompressionConfig(num_layers=mcfg.num_layers,
                              high_precision_bits=16, medium_precision_bits=8,
-                             low_precision_bits=4)
-    q, cache, recent, q_pos, ccfg = build_state(rng, mcfg=mcfg, ccfg=ccfg)
+                             low_precision_bits=4, pack_chunk_tokens=32)
+    q, cache, recent, q_pos, ccfg = build_state(rng, s=128, mcfg=mcfg,
+                                                ccfg=ccfg)
     ref = xla_reference(q, cache, recent, q_pos, ccfg)
-    out = fused_decode_attention_segmented(q, cache, recent, q_pos, ccfg,
-                                           interpret=True, segment_tokens=32)
+    out = fused_decode_attention(q, cache, recent, q_pos, ccfg,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("group_size", [8, 16])
+def test_fused_group_scales(rng, group_size):
+    """quant_group_size < head_dim (finer scale groups — the quality knob
+    config.py advertises) now runs through the fused kernel (VERDICT #4
+    killed the NotImplementedError)."""
+    mcfg = tiny_test_model(num_kv_heads=2, num_heads=4, head_dim=32)
+    ccfg = CompressionConfig(num_layers=mcfg.num_layers,
+                             high_precision_bits=8, medium_precision_bits=4,
+                             low_precision_bits=2,
+                             quant_group_size=group_size)
+    q, cache, recent, q_pos, ccfg = build_state(rng, mcfg=mcfg, ccfg=ccfg)
+    assert cache.tiers[0].k_scale.shape[-1] == 32 // group_size
+    ref = xla_reference(q, cache, recent, q_pos, ccfg)
+    out = fused_decode_attention(q, cache, recent, q_pos, ccfg,
+                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 

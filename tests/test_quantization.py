@@ -101,6 +101,27 @@ def test_quantize_tier_roundtrip(rng, bits):
         assert err < 0.05
 
 
+@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("chunk", [8, 16, 64])
+def test_chunked_pack_roundtrip(rng, bits, chunk):
+    """Chunk-strided packing (the decode kernel's segment layout) is a
+    lossless permutation: unpack(pack(x)) == x for every chunk size."""
+    codes = jnp.asarray(
+        rng.integers(0, 2 ** bits, size=(2, 64, 2, 8)).astype(np.uint8))
+    packed = q.pack_codes(codes, bits, axis=-3, chunk=chunk)
+    if bits < 8:
+        assert packed.shape[-3] == 64 // (8 // bits)
+    out = q.unpack_codes(packed, bits, 64, axis=-3, chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+
+def test_chunked_tier_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(1, 64, 2, 32)).astype(np.float32))
+    stored, s, z = q.quantize_tier(x, 4, 16, chunk=16)
+    recon = q.dequantize_tier(stored, s, z, 4, chunk=16)
+    assert float(jnp.abs(recon - x).max()) <= float(s.max()) / 2 + 1e-5
+
+
 def test_memory_report_real_byte_accounting(cfg):
     labels = jnp.concatenate([
         jnp.full((1, 4), HIGH), jnp.full((1, 4), MID), jnp.full((1, 8), LOW),
