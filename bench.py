@@ -177,6 +177,10 @@ def main():
     ap.add_argument("--weight-bits", type=int, default=16, choices=[8, 16],
                     help="8 = weight-only int8 quantization (halves weight "
                          "HBM footprint and decode floor)")
+    ap.add_argument("--anchor", action="store_true",
+                    help="run at the reference's committed operating point "
+                         "(alpha .6/.2/.2, theta .6/.2, bits 16/8/4, "
+                         "threshold tiers -> ~0.45 kept ratio; VERDICT #5)")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fused-decode", action="store_true",
                     help="use the fused Pallas dequant-attention decode "
@@ -201,9 +205,14 @@ def main():
     if args.dtype:
         overrides["dtype"] = args.dtype
     mcfg = dataclasses.replace(mcfg, **overrides)
-    ccfg = CompressionConfig(num_layers=mcfg.num_layers,
-                             high_precision_bits=8,
-                             medium_precision_bits=4, low_precision_bits=2)
+    if args.anchor:
+        from realtime_kv_cache_compression_tpu import reference_anchor_config
+        ccfg = reference_anchor_config(num_layers=mcfg.num_layers)
+    else:
+        ccfg = CompressionConfig(num_layers=mcfg.num_layers,
+                                 high_precision_bits=8,
+                                 medium_precision_bits=4,
+                                 low_precision_bits=2)
 
     use_flash = not args.no_flash
     try:

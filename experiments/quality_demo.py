@@ -1,21 +1,26 @@
 #!/usr/bin/env python
 """Hermetic quality-retention demonstration.
 
-Trains a miniature Llama (with this framework's own train step) on a
-payload-recall task — [payload tokens][filler][SEP] → model must reproduce
-the payload — then measures recall accuracy through the real compressed
-inference path across compression strengths and bit tiers.
+Trains a miniature Llama (with this framework's own train step) on payload-
+recall tasks — the payload must survive compressed inference for recall to
+succeed — then measures accuracy through the real compressed path across
+compression strengths, bit tiers, and context lengths.
+
+Task shapes (>= 2, per VERDICT #5):
+  recall    [payload][filler][SEP] -> reproduce the payload.
+  multidoc  [m0 doc0 m1 doc1 ...][filler][SEP][m_q] -> reproduce the queried
+            doc (multi-document-QA-shaped: the model must retrieve one of
+            several competing payloads by its marker).
 
 Why this matters: random-weight models score 0 on any text metric, and this
-environment has no network for real checkpoints. This demo yields a genuine
-quality-vs-compression curve offline, and it stresses exactly the mechanism
-the framework claims: the payload sits in the prompt region, so
+environment has no network for real checkpoints. This demo yields genuine
+quality-vs-compression curves offline, and it stresses exactly the
+mechanism the framework claims: payloads sit in the prompt region, so
 prompt-guided importance scoring must keep those tokens through 2/4/8-bit
 quantization and token dropping for recall to survive.
 """
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -23,21 +28,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+SEP = 1
+N_DOCS = 4
 
-def make_batch(rng_key, batch, payload_len, filler_len, vocab, sep):
-    """[payload][filler][SEP][payload] sequences for LM training."""
+
+def make_batch(rng_key, batch, payload_len, filler_len, vocab, task):
+    """Returns (full_ids, prompt_len, payload[batch, payload_len])."""
     import jax
     import jax.numpy as jnp
 
-    k1, k2 = jax.random.split(rng_key)
-    payload = jax.random.randint(k1, (batch, payload_len), 2, vocab - 2)
-    filler = jax.random.randint(k2, (batch, filler_len), 2, vocab - 2)
-    sep_col = jnp.full((batch, 1), sep, jnp.int32)
-    return jnp.concatenate([payload, filler, sep_col, payload], axis=1), payload
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    lo = 2 + N_DOCS  # ids [2, 2+N_DOCS) are doc markers
+    if task == "recall":
+        payload = jax.random.randint(k1, (batch, payload_len), lo, vocab - 2)
+        filler = jax.random.randint(k2, (batch, filler_len), lo, vocab - 2)
+        sep_col = jnp.full((batch, 1), SEP, jnp.int32)
+        full = jnp.concatenate([payload, filler, sep_col, payload], axis=1)
+        return full, payload_len + filler_len + 1, payload
+    # multidoc: marker-tagged docs, query by marker after the filler.
+    docs = jax.random.randint(k1, (batch, N_DOCS, payload_len), lo, vocab - 2)
+    filler = jax.random.randint(k2, (batch, filler_len), lo, vocab - 2)
+    qidx = jax.random.randint(k3, (batch,), 0, N_DOCS)
+    parts = []
+    for d in range(N_DOCS):
+        parts.append(jnp.full((batch, 1), 2 + d, jnp.int32))
+        parts.append(docs[:, d])
+    target = jnp.take_along_axis(docs, qidx[:, None, None], axis=1)[:, 0]
+    q_col = (2 + qidx)[:, None].astype(jnp.int32)
+    sep_col = jnp.full((batch, 1), SEP, jnp.int32)
+    full = jnp.concatenate(parts + [filler, sep_col, q_col, target], axis=1)
+    prompt_len = N_DOCS * (payload_len + 1) + filler_len + 2
+    return full, prompt_len, target
 
 
-def train_recall_model(mcfg, steps, batch, payload_len, filler_len, sep,
-                       lr=3e-3, log_every=100):
+def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
+                       lr=3e-3, log_every=200):
+    """Train on the task with filler length cycling over the sweep values
+    (so long-context eval is in-distribution)."""
     import jax
 
     from realtime_kv_cache_compression_tpu.models import llama, train
@@ -51,16 +78,17 @@ def train_recall_model(mcfg, steps, batch, payload_len, filler_len, sep,
     loss = None
     for i in range(steps):
         key, sub = jax.random.split(key)
-        ids, _ = make_batch(sub, batch, payload_len, filler_len,
-                            mcfg.vocab_size, sep)
+        filler = filler_lens[i % len(filler_lens)]
+        ids, _, _ = make_batch(sub, batch, payload_len, filler,
+                               mcfg.vocab_size, task)
         params, opt_state, loss = step_fn(params, opt_state, ids)
         if i % log_every == 0:
-            print(f"  train step {i}: loss {float(loss):.4f}", flush=True)
-    print(f"  final loss {float(loss):.4f}", flush=True)
+            print(f"  [{task}] step {i}: loss {float(loss):.4f}", flush=True)
+    print(f"  [{task}] final loss {float(loss):.4f}", flush=True)
     return params
 
 
-def recall_accuracy(params, mcfg, ccfg, n_eval, payload_len, filler_len, sep,
+def recall_accuracy(params, mcfg, ccfg, task, n_eval, payload_len, filler_len,
                     seed=123):
     """Exact-token recall rate through prefill+decode (compressed if ccfg)."""
     import jax
@@ -68,10 +96,10 @@ def recall_accuracy(params, mcfg, ccfg, n_eval, payload_len, filler_len, sep,
 
     from realtime_kv_cache_compression_tpu.models import llama
 
-    key = jax.random.PRNGKey(seed)
-    ids, payload = make_batch(key, n_eval, payload_len, filler_len,
-                              mcfg.vocab_size, sep)
-    prompt = ids[:, :payload_len + filler_len + 1]  # up to and incl. SEP
+    key = jax.random.PRNGKey(seed + filler_len)
+    ids, prompt_len, payload = make_batch(key, n_eval, payload_len,
+                                          filler_len, mcfg.vocab_size, task)
+    prompt = ids[:, :prompt_len]
     if ccfg is not None:
         out, stats = llama.generate(params, prompt, mcfg, ccfg,
                                     max_new_tokens=payload_len)
@@ -98,11 +126,16 @@ def recall_accuracy(params, mcfg, ccfg, n_eval, payload_len, filler_len, sep,
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--tasks", default="recall,multidoc")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--payload", type=int, default=8)
-    ap.add_argument("--filler", type=int, default=48)
+    ap.add_argument("--fillers", default="48,112,240",
+                    help="comma list of filler lengths (context sweep)")
     ap.add_argument("--eval-samples", type=int, default=64)
+    ap.add_argument("--arms", default=None,
+                    help="comma list to restrict the config arms")
+    ap.add_argument("--max-positions", type=int, default=None)
     ap.add_argument("--output-dir", default="experiments/results/quality_demo")
     args = ap.parse_args()
 
@@ -113,16 +146,14 @@ def main():
 
     import realtime_kv_cache_compression_tpu as rtc
 
+    fillers = [int(f) for f in args.fillers.split(",")]
+    tasks = args.tasks.split(",")
+    max_pos = args.max_positions or (
+        max(fillers) + (args.payload + 1) * (N_DOCS + 2) + 16)
     mcfg = rtc.tiny_test_model(vocab_size=64, hidden_size=128,
                                intermediate_size=256, num_layers=4,
                                num_heads=4, num_kv_heads=2, head_dim=32,
-                               max_position_embeddings=256)
-    sep = 1
-    print("training recall model...", flush=True)
-    t0 = time.time()
-    params = train_recall_model(mcfg, args.steps, args.batch, args.payload,
-                                args.filler, sep)
-    print(f"trained in {time.time() - t0:.0f}s", flush=True)
+                               max_position_embeddings=max_pos)
 
     def cc(**kw):
         base = dict(num_layers=mcfg.num_layers, high_precision_bits=8,
@@ -136,6 +167,9 @@ def main():
                            later_layer_ratio=0.7, high_precision_bits=16,
                            medium_precision_bits=8, low_precision_bits=4),
         "balanced_8_4_2": cc(),
+        # The reference's committed operating point (~0.45 kept): VERDICT #5.
+        "reference_anchor": rtc.reference_anchor_config(
+            num_layers=mcfg.num_layers),
         "aggressive": cc(early_layer_ratio=0.6, middle_layer_ratio=0.4,
                          later_layer_ratio=0.3),
         "very_aggressive_2bit": cc(early_layer_ratio=0.4,
@@ -146,33 +180,48 @@ def main():
                                    low_precision_bits=2),
         "position_only_scores": cc(alpha=0.0, beta=0.85, gamma=0.15),
     }
+    if args.arms:
+        keep = set(args.arms.split(","))
+        arms = {k: v for k, v in arms.items() if k in keep}
+
     from realtime_kv_cache_compression_tpu.models.quantized_params import (
         quantize_params)
 
-    qparams = quantize_params(params)
-    arm_params = {name: params for name in arms}
-    # Full-stack quantization arm: int8 weights AND 8/4/2-bit compressed KV.
-    arms["balanced_int8_weights"] = cc()
-    arm_params["balanced_int8_weights"] = qparams
-
     results = {}
-    for name, ccfg in arms.items():
-        r = recall_accuracy(arm_params[name], mcfg, ccfg, args.eval_samples,
-                            args.payload, args.filler, sep)
-        results[name] = r
-        comp = r.pop("compression", None)
-        line = (f"{name}: token_acc={r['token_accuracy']:.3f} "
-                f"em={r['exact_match']:.3f}")
-        if comp:
-            line += (f" kept={comp['avg_compression_ratio']:.2f} "
-                     f"savings={comp['avg_memory_savings']:.2f}")
-            r["kept_ratio"] = comp["avg_compression_ratio"]
-            r["memory_savings"] = comp["avg_memory_savings"]
-        print(line, flush=True)
+    for task in tasks:
+        print(f"training {task} model (fillers {fillers})...", flush=True)
+        t0 = time.time()
+        params = train_recall_model(mcfg, task, args.steps, args.batch,
+                                    args.payload, fillers)
+        print(f"trained in {time.time() - t0:.0f}s", flush=True)
+        arm_params = {name: params for name in arms}
+        task_arms = dict(arms)
+        if not args.arms or "balanced_int8_weights" in (args.arms or ""):
+            task_arms["balanced_int8_weights"] = cc()
+            arm_params["balanced_int8_weights"] = quantize_params(params)
+
+        for filler in fillers:
+            ctx = {}
+            for name, ccfg in task_arms.items():
+                r = recall_accuracy(arm_params[name], mcfg, ccfg, task,
+                                    args.eval_samples, args.payload, filler)
+                comp = r.pop("compression", None)
+                line = (f"[{task} f={filler}] {name}: "
+                        f"acc={r['token_accuracy']:.3f} "
+                        f"em={r['exact_match']:.3f}")
+                if comp:
+                    line += (f" kept={comp['avg_compression_ratio']:.2f} "
+                             f"savings={comp['avg_memory_savings']:.2f}")
+                    r["kept_ratio"] = comp["avg_compression_ratio"]
+                    r["memory_savings"] = comp["avg_memory_savings"]
+                ctx[name] = r
+                print(line, flush=True)
+            results[f"{task}_filler{filler}"] = ctx
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "quality_demo.json"), "w") as f:
         json.dump(results, f, indent=2)
+    print(f"wrote {args.output_dir}/quality_demo.json", flush=True)
 
 
 if __name__ == "__main__":

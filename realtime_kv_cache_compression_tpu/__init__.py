@@ -10,12 +10,13 @@ sharded over TPU meshes with GSPMD.
 
 from .config import (CompressionConfig, ModelConfig, HIGH, MID, LOW,
                      LLAMA2_7B, LLAMA2_13B, LLAMA3_8B, MISTRAL_7B,
-                     TINYLLAMA_1_1B, tiny_test_model)
+                     TINYLLAMA_1_1B, reference_anchor_config,
+                     tiny_test_model)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CompressionConfig", "ModelConfig", "HIGH", "MID", "LOW",
     "LLAMA2_7B", "LLAMA2_13B", "LLAMA3_8B", "MISTRAL_7B",
-    "TINYLLAMA_1_1B", "tiny_test_model",
+    "TINYLLAMA_1_1B", "reference_anchor_config", "tiny_test_model",
 ]

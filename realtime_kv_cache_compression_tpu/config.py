@@ -317,6 +317,29 @@ LLAMA3_8B = ModelConfig(vocab_size=128256, hidden_size=4096,
                         max_position_embeddings=8192, rope_theta=500000.0)
 
 
+def reference_anchor_config(num_layers: int = 32,
+                            **overrides) -> CompressionConfig:
+    """The reference's committed operating point (VERDICT #5).
+
+    Hyperparameters of run compression_exp_20251020_225951
+    (/root/reference/experiments/results/compression_exp_20251020_225951/
+    config.json; BASELINE.md): alpha=0.6 beta=0.2 gamma=0.2, theta_h=0.6
+    theta_m=0.2, ratios 0.8/0.6/0.4, bits 16/8/4, threshold tier mode.
+    At this point the reference measured ~0.45 kept ratio / 55% memory
+    savings with dF1 ~ -0.003; benchmark and quality comparisons at the
+    reference's own retention should use this config (the byte-cost budget
+    with 2.0/1.0/0.5-byte tiers is what pushes kept below the 0.8/0.6/0.4
+    token ratios).
+    """
+    base = dict(alpha=0.6, beta=0.2, gamma=0.2, theta_h=0.6, theta_m=0.2,
+                early_layer_ratio=0.8, middle_layer_ratio=0.6,
+                later_layer_ratio=0.4, high_precision_bits=16,
+                medium_precision_bits=8, low_precision_bits=4,
+                tier_mode="threshold", num_layers=num_layers)
+    base.update(overrides)
+    return CompressionConfig(**base)
+
+
 def tiny_test_model(**overrides) -> ModelConfig:
     """A minuscule Llama for CPU unit tests."""
     base = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
