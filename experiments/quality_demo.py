@@ -45,9 +45,13 @@ def make_batch(rng_key, batch, payload_len, filler_len, vocab, task):
         sep_col = jnp.full((batch, 1), SEP, jnp.int32)
         full = jnp.concatenate([payload, filler, sep_col, payload], axis=1)
         return full, payload_len + filler_len + 1, payload
-    # multidoc: marker-tagged docs, query by marker after the filler.
-    docs = jax.random.randint(k1, (batch, N_DOCS, payload_len), lo, vocab - 2)
-    filler = jax.random.randint(k2, (batch, filler_len), lo, vocab - 2)
+    # multidoc: marker-tagged docs, query by marker after the filler. Docs
+    # and filler draw from DISJOINT vocab ranges so the retrieval copy-chain
+    # (induction) is unambiguous — the difficulty is selecting the right doc
+    # among competitors, not token collisions with filler.
+    mid = lo + (vocab - 2 - lo) // 2
+    docs = jax.random.randint(k1, (batch, N_DOCS, payload_len), lo, mid)
+    filler = jax.random.randint(k2, (batch, filler_len), mid, vocab - 2)
     qidx = jax.random.randint(k3, (batch,), 0, N_DOCS)
     parts = []
     for d in range(N_DOCS):

@@ -140,11 +140,16 @@ class CompressionConfig:
 
     # Tokens per sub-byte packing chunk (ops/quantization.pack_codes):
     # strided packing runs independently inside each chunk, so a chunk's
-    # byte rows map to a CONTIGUOUS token range — the segment granularity
-    # of the single-launch fused decode kernel (its grid walks chunks, with
-    # scales/positions slicing contiguously). Tier capacities above this
-    # round up to a multiple of it (<= chunk-1 extra masked slots per tier).
+    # byte rows map to a CONTIGUOUS token range — the unit the fused decode
+    # kernel unpacks. Tier capacities above this round up to a multiple of
+    # it (<= chunk-1 extra masked slots per tier). Small chunks keep the
+    # capacity overhead low (~4% at 4K).
     pack_chunk_tokens: int = 128
+    # Target tokens per decode-kernel SEGMENT (one grid step): the kernel
+    # groups whole chunks per segment up to this size, so grid-step count —
+    # and its per-step overhead — stays low while capacity rounding stays
+    # chunk-fine. Must be a multiple of pack_chunk_tokens.
+    decode_segment_tokens: int = 1024
 
     def __post_init__(self):
         for bits in (self.high_precision_bits, self.medium_precision_bits,
@@ -168,6 +173,9 @@ class CompressionConfig:
         if self.pack_chunk_tokens < 8 or self.pack_chunk_tokens % 4:
             raise ValueError("pack_chunk_tokens must be >= 8 and a multiple "
                              "of 4 (tokens per byte at 2-bit packing)")
+        if self.decode_segment_tokens % self.pack_chunk_tokens:
+            raise ValueError("decode_segment_tokens must be a multiple of "
+                             "pack_chunk_tokens")
         if self.decode_pool_bits not in VALID_BITS:
             raise ValueError(
                 f"decode_pool_bits {self.decode_pool_bits} not in {VALID_BITS}")

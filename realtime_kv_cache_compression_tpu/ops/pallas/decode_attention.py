@@ -60,17 +60,29 @@ def _bytes_to_i32(stored):
 
 
 def _expand_groups(scale, n_tokens: int, d: int):
-    """[N, G] per-group params → [N, D] per-channel (G groups of D/G)."""
+    """[N, G] per-group params → [N, D] per-channel (G groups of D/G).
+
+    Mosaic rejects the broadcast+minor-dim-reshape spelling, so the
+    expansion is a dot with an iota-built 0/1 selection matrix
+    E[g, ch] = (ch // gs == g) — a tiny [N, G] x [G, D] MXU matmul that
+    always lowers.
+    """
     g = scale.shape[-1]
     if g == 1:
         return jnp.broadcast_to(scale, (n_tokens, d))
     gs = d // g
-    return jnp.broadcast_to(scale[:, :, None],
-                            (n_tokens, g, gs)).reshape(n_tokens, d)
+    col_group = jax.lax.broadcasted_iota(jnp.int32, (g, d), 1) // gs
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, d), 0)
+    expand = (col_group == row).astype(jnp.float32)
+    return jax.lax.dot(scale.astype(jnp.float32), expand,
+                       preferred_element_type=jnp.float32)
 
 
-def _unpack_dequant(stored, scale, zp, bits, n_tokens, d):
-    """[R, D] packed (or [N, D] raw) → [N, D] float32 values."""
+def _unpack_dequant(stored, scale, zp, bits, n_tokens, d, w=1):
+    """[R, D] packed (or [N, D] raw) → [N, D] float32 values.
+
+    `w` = packing chunks in this segment: sub-byte rows unpack per chunk
+    (static slices + sublane concat — chunked-strided layout contract)."""
     if bits == 16:
         return stored.astype(jnp.float32)
     p = _bytes_to_i32(stored)
@@ -79,8 +91,19 @@ def _unpack_dequant(stored, scale, zp, bits, n_tokens, d):
     else:
         per_byte = 8 // bits
         mask = 2 ** bits - 1
-        parts = [((p >> (j * bits)) & mask) for j in range(per_byte)]
-        codes = jnp.concatenate(parts, axis=0)[:n_tokens].astype(jnp.float32)
+        if w == 1:
+            parts = [((p >> (j * bits)) & mask) for j in range(per_byte)]
+            codes = jnp.concatenate(parts, axis=0)[:n_tokens] \
+                .astype(jnp.float32)
+        else:
+            rows_c = p.shape[0] // w
+            chunks = []
+            for c in range(w):
+                pc = p[c * rows_c:(c + 1) * rows_c]
+                chunks.append(jnp.concatenate(
+                    [((pc >> (j * bits)) & mask) for j in range(per_byte)],
+                    axis=0))
+            codes = jnp.concatenate(chunks, axis=0).astype(jnp.float32)
     return ((codes - _expand_groups(zp, n_tokens, d))
             * _expand_groups(scale, n_tokens, d))
 
@@ -89,18 +112,23 @@ class _Entry(NamedTuple):
     """Static metadata for one pool in the segment walk."""
 
     bits: int
-    seg_tokens: int   # tokens per segment (= packing chunk)
+    seg_tokens: int   # tokens per segment (= w packing chunks)
     seg_rows: int     # stored rows per segment
     n_segs: int
     seg_start: int    # first segment index in the global walk
+    w: int = 1        # packing chunks per segment
 
 
 def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
                    entries: Tuple[_Entry, ...], total_segs: int, d: int,
+                   hkv: int, rep: int,
                    m_scr=None, l_scr=None, acc_scr=None):
+    """Grid (batch, segment); ALL kv heads process inside one program (a
+    static head loop) — v5e has a single TensorCore, so fewer, fatter grid
+    steps beat head-level grid parallelism (per-step overhead ~ us)."""
     o_ref = refs[-1]
     refs = refs[:-1]
-    seg = pl.program_id(2)
+    seg = pl.program_id(1)
 
     @pl.when(seg == 0)
     def _init():
@@ -108,7 +136,6 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)          # [rep, d]
     qpos = qpos_ref[0]                           # [1, 1] (broadcasts)
 
     for e_idx, e in enumerate(entries):
@@ -117,30 +144,37 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
         @pl.when((seg >= e.seg_start) & (seg < e.seg_start + e.n_segs))
         def _run(e=e, k_r=k_r, v_r=v_r, ksc=ksc, kzp=kzp, vsc=vsc, vzp=vzp,
                  pos_r=pos_r):
-            k = _unpack_dequant(k_r[0, 0], ksc[0, 0], kzp[0, 0], e.bits,
-                                e.seg_tokens, d)
-            v = _unpack_dequant(v_r[0, 0], vsc[0, 0], vzp[0, 0], e.bits,
-                                e.seg_tokens, d)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale  # [rep, N]
-            s = jnp.where(pos_r[0] <= qpos, s, NEG_INF)
-            m_prev = m_scr[...]
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)
-            m_scr[...] = m_next
-            l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-                p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+            pos_ok = pos_r[0] <= qpos            # [1, N] (broadcasts)
+            for h in range(hkv):
+                rs = slice(h * rep, (h + 1) * rep)
+                q = q_ref[0, h].astype(jnp.float32)          # [rep, d]
+                k = _unpack_dequant(k_r[0, h], ksc[0, h], kzp[0, h], e.bits,
+                                    e.seg_tokens, d, w=e.w)
+                v = _unpack_dequant(v_r[0, h], vsc[0, h], vzp[0, h], e.bits,
+                                    e.seg_tokens, d, w=e.w)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale  # [rep,N]
+                s = jnp.where(pos_ok, s, NEG_INF)
+                m_prev = m_scr[rs]
+                l_prev = l_scr[rs]
+                m_curr = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next)
+                m_scr[rs] = m_next
+                l_scr[rs] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                acc_scr[rs] = acc_scr[rs] * alpha + jax.lax.dot(
+                    p, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
 
     @pl.when(seg == total_segs - 1)
     def _finalize():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o = (acc_scr[...] * l_inv).astype(o_ref.dtype)   # [hkv*rep, d]
+        for h in range(hkv):
+            o_ref[0, h] = o[h * rep:(h + 1) * rep]
 
 
 def _tier_entry_arrays(t, bits: int, chunk: Optional[int]):
@@ -211,51 +245,56 @@ def fused_decode_attention(
     hm = lambda a: jnp.transpose(a, (0, 2, 1, 3))  # [B,N,H,x] → [B,H,N,x]
     inputs: List[Array] = [q_pos.astype(jnp.int32)[:, :, None], q_r]
     in_specs = [
-        pl.BlockSpec((1, 1, 1), lambda bi, hi, si: (bi, 0, 0)),
-        pl.BlockSpec((1, 1, rep, d), lambda bi, hi, si: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, 1), lambda bi, si: (bi, 0, 0)),
+        pl.BlockSpec((1, hkv, rep, d), lambda bi, si: (bi, 0, 0, 0)),
     ]
     entries: List[_Entry] = []
     seg_cursor = 0
     for bits, chunk, arrays in raw_entries:
         k_s, v_s, ksc, kzp, vsc, vzp, masked_pos = arrays
         n = masked_pos.shape[1]
-        n_segs = n // chunk
+        n_chunks = n // chunk
+        # Group whole chunks per segment up to decode_segment_tokens: fewer
+        # grid steps (less per-step overhead, bigger matmuls) at unchanged
+        # capacity granularity. Raw (8/16-bit) entries have order-free rows,
+        # so any grouping works; sub-byte entries unpack per chunk in-kernel.
+        target_w = max(1, cfg.decode_segment_tokens // chunk)
+        w = next(x for x in range(min(target_w, n_chunks), 0, -1)
+                 if n_chunks % x == 0)
+        seg_tokens = w * chunk
+        n_segs = n_chunks // w
         rows_total = k_s.shape[1]
         seg_rows = rows_total // n_segs
-        e = _Entry(bits=bits, seg_tokens=chunk, seg_rows=seg_rows,
-                   n_segs=n_segs, seg_start=seg_cursor)
+        e = _Entry(bits=bits, seg_tokens=seg_tokens, seg_rows=seg_rows,
+                   n_segs=n_segs, seg_start=seg_cursor, w=w)
         entries.append(e)
         seg_cursor += n_segs
 
         def idx4(start=e.seg_start, ns=e.n_segs):
-            return lambda bi, hi, si: (bi, hi,
-                                       jnp.clip(si - start, 0, ns - 1), 0)
-
-        def idx2(start=e.seg_start, ns=e.n_segs):
-            return lambda bi, hi, si: (bi, jnp.clip(si - start, 0, ns - 1))
+            return lambda bi, si: (bi, 0, jnp.clip(si - start, 0, ns - 1), 0)
 
         gk = ksc.shape[-1]
         for arr, blk, imap in (
-            (hm(k_s), (1, 1, seg_rows, d), idx4()),
-            (hm(v_s), (1, 1, seg_rows, d), idx4()),
-            (hm(ksc), (1, 1, chunk, gk), idx4()),
-            (hm(kzp), (1, 1, chunk, gk), idx4()),
-            (hm(vsc), (1, 1, chunk, gk), idx4()),
-            (hm(vzp), (1, 1, chunk, gk), idx4()),
+            (hm(k_s), (1, hkv, seg_rows, d), idx4()),
+            (hm(v_s), (1, hkv, seg_rows, d), idx4()),
+            (hm(ksc), (1, hkv, seg_tokens, gk), idx4()),
+            (hm(kzp), (1, hkv, seg_tokens, gk), idx4()),
+            (hm(vsc), (1, hkv, seg_tokens, gk), idx4()),
+            (hm(vzp), (1, hkv, seg_tokens, gk), idx4()),
         ):
             inputs.append(arr)
             in_specs.append(pl.BlockSpec(blk, imap))
         inputs.append(masked_pos[:, None, :])
         in_specs.append(pl.BlockSpec(
-            (1, 1, chunk),
-            (lambda start, ns: lambda bi, hi, si:
+            (1, 1, seg_tokens),
+            (lambda start, ns: lambda bi, si:
              (bi, 0, jnp.clip(si - start, 0, ns - 1)))(e.seg_start,
                                                        e.n_segs)))
 
     total_segs = seg_cursor
     kernel = functools.partial(
         _decode_kernel, sm_scale=sm_scale, entries=tuple(entries),
-        total_segs=total_segs, d=d)
+        total_segs=total_segs, d=d, hkv=hkv, rep=rep)
 
     def kernel_with_scratch(*args):
         *io, m_scr, l_scr, acc_scr = args
@@ -263,18 +302,18 @@ def fused_decode_attention(
 
     out = pl.pallas_call(
         kernel_with_scratch,
-        grid=(b, hkv, total_segs),
+        grid=(b, total_segs),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, rep, d),
-                               lambda bi, hi, si: (bi, hi, 0, 0)),
+        out_specs=pl.BlockSpec((1, hkv, rep, d),
+                               lambda bi, si: (bi, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rep, 1), jnp.float32),
-            pltpu.VMEM((rep, 1), jnp.float32),
-            pltpu.VMEM((rep, d), jnp.float32),
+            pltpu.VMEM((hkv * rep, 1), jnp.float32),
+            pltpu.VMEM((hkv * rep, 1), jnp.float32),
+            pltpu.VMEM((hkv * rep, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(*inputs)
     out = out[:, :, :n_rep, :].reshape(b, 1, hq, d)

@@ -69,8 +69,9 @@ def int8_matmul(
 ) -> Array:
     """[M, K] int8 @ [K, N] int8 -> [M, N] out_dtype, scaled per row/channel.
 
-    M is padded to a sublane multiple internally; K and N must divide the
-    clamped block sizes (true for every Llama-family projection).
+    Every dimension pads to its block internally: K-padding contributes
+    zero products; padded M rows / N columns are sliced off the output
+    (e.g. Llama-2's intermediate 11008 is not 512-divisible).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -79,17 +80,19 @@ def int8_matmul(
     assert k == k2, (x_q.shape, w_q.shape)
 
     block_m = min(block_m, max(8, ((m + 7) // 8) * 8))
-    block_n = min(block_n, n)
+    block_n = min(block_n, ((n + 127) // 128) * 128)
     block_k = min(block_k, k)
-    if k % block_k or n % block_n:
-        raise ValueError(f"K={k}, N={n} must divide blocks "
-                         f"({block_k}, {block_n})")
     pad_m = (-m) % block_m
-    if pad_m:
-        x_q = jnp.pad(x_q, ((0, pad_m), (0, 0)))
+    pad_n = (-n) % block_n
+    pad_k = (-k) % block_k
+    if pad_m or pad_k:
+        x_q = jnp.pad(x_q, ((0, pad_m), (0, pad_k)))
         x_scale = jnp.pad(x_scale, ((0, pad_m),))
-    mm = m + pad_m
-    nm, nn, nk = mm // block_m, n // block_n, k // block_k
+    if pad_n or pad_k:
+        w_q = jnp.pad(w_q, ((0, pad_k), (0, pad_n)))
+        w_scale = jnp.pad(w_scale, ((0, pad_n),))
+    mm, nn_, kk = m + pad_m, n + pad_n, k + pad_k
+    nm, nn, nk = mm // block_m, nn_ // block_n, kk // block_k
 
     out = pl.pallas_call(
         functools.partial(_mm_kernel, nk=nk),
@@ -101,14 +104,14 @@ def int8_matmul(
             pl.BlockSpec((1, block_n), lambda i, j, s: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, s: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((mm, n), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((mm, nn_), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(x_q, w_q, x_scale[:, None].astype(jnp.float32),
       w_scale[None, :].astype(jnp.float32))
-    return out[:m]
+    return out[:m, :n]
 
 
 def int8_matmul_xla(x_q: Array, w_q: Array, x_scale: Array, w_scale: Array,
