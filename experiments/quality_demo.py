@@ -45,12 +45,18 @@ def make_batch(rng_key, batch, payload_len, filler_len, vocab, task):
         sep_col = jnp.full((batch, 1), SEP, jnp.int32)
         full = jnp.concatenate([payload, filler, sep_col, payload], axis=1)
         return full, payload_len + filler_len + 1, payload
-    # multidoc: marker-tagged docs, query by marker after the filler. Docs
-    # and filler draw from DISJOINT vocab ranges so the retrieval copy-chain
-    # (induction) is unambiguous — the difficulty is selecting the right doc
-    # among competitors, not token collisions with filler.
-    mid = lo + (vocab - 2 - lo) // 2
-    docs = jax.random.randint(k1, (batch, N_DOCS, payload_len), lo, mid)
+    # multidoc: marker-tagged docs, query by marker after the filler. Doc
+    # tokens are a per-row PERMUTATION of a reserved range (no token occurs
+    # twice anywhere in the prompt) and filler draws from a disjoint range,
+    # so the retrieval copy-chain (induction on the previous token) is
+    # unambiguous — the difficulty is selecting the right doc among
+    # competitors, not resolving token collisions.
+    doc_range = N_DOCS * payload_len
+    mid = lo + doc_range
+    assert mid < vocab - 2, "vocab too small for distinct doc tokens"
+    perm = jax.vmap(lambda k: jax.random.permutation(k, doc_range))(
+        jax.random.split(k1, batch))
+    docs = (lo + perm).reshape(batch, N_DOCS, payload_len)
     filler = jax.random.randint(k2, (batch, filler_len), mid, vocab - 2)
     qidx = jax.random.randint(k3, (batch,), 0, N_DOCS)
     parts = []
@@ -140,6 +146,10 @@ def main():
     ap.add_argument("--arms", default=None,
                     help="comma list to restrict the config arms")
     ap.add_argument("--max-positions", type=int, default=None)
+    ap.add_argument("--params-dir", default=None,
+                    help="reuse trained params: load from "
+                         "PARAMS_DIR/<task> if present, else train and "
+                         "save there (orbax)")
     ap.add_argument("--output-dir", default="experiments/results/quality_demo")
     args = ap.parse_args()
 
@@ -193,11 +203,25 @@ def main():
 
     results = {}
     for task in tasks:
-        print(f"training {task} model (fillers {fillers})...", flush=True)
-        t0 = time.time()
-        params = train_recall_model(mcfg, task, args.steps, args.batch,
-                                    args.payload, fillers)
-        print(f"trained in {time.time() - t0:.0f}s", flush=True)
+        ckpt = (os.path.join(os.path.abspath(args.params_dir), task)
+                if args.params_dir else None)
+        if ckpt and os.path.exists(ckpt):
+            from realtime_kv_cache_compression_tpu.models import (checkpoint,
+                                                                  llama)
+            template = jax.eval_shape(
+                lambda: llama.init_params(jax.random.PRNGKey(0), mcfg))
+            params = checkpoint.load_checkpoint(ckpt, template)
+            print(f"loaded {task} params from {ckpt}", flush=True)
+        else:
+            print(f"training {task} model (fillers {fillers})...", flush=True)
+            t0 = time.time()
+            params = train_recall_model(mcfg, task, args.steps, args.batch,
+                                        args.payload, fillers)
+            print(f"trained in {time.time() - t0:.0f}s", flush=True)
+            if ckpt:
+                from realtime_kv_cache_compression_tpu.models import checkpoint
+                checkpoint.save_checkpoint(ckpt, params)
+                print(f"saved {task} params to {ckpt}", flush=True)
         arm_params = {name: params for name in arms}
         task_arms = dict(arms)
         if not args.arms or "balanced_int8_weights" in (args.arms or ""):

@@ -8,22 +8,38 @@ same factor as storage. The reference has no counterpart (it fake-quantized
 fp16 tensors and ran eager torch attention, modified_llama.py:125-142).
 
 ONE pallas_call per layer per step (VERDICT round-1 item #4): the grid is
-(batch, kv_head, segment), where segments walk every pool in order —
-HIGH | MID | LOW tiers (one segment per packing chunk), decode-pool blocks,
-then the recent ring. The online-softmax state (m, l, acc) lives in VMEM
-scratch across the segment dimension ("arbitrary" semantics), and Pallas
-pipelines each segment's HBM→VMEM block DMA against the previous segment's
-compute (double buffering for free). Per-entry index maps clamp outside
-their segment range, so no redundant DMA is issued (an unchanged block
-index skips the fetch).
+(batch, segment), where segments walk every pool in order — HIGH | MID |
+LOW tiers (grouped packing chunks), decode-pool blocks, then the recent
+ring — and all kv heads process inside one program (v5e has one TensorCore;
+fewer, fatter grid steps beat head-level grid parallelism). The online-
+softmax state (m, l, acc) lives in VMEM scratch across the segment
+dimension ("arbitrary" semantics), and Pallas pipelines each segment's
+HBM→VMEM block DMA against the previous segment's compute.
+
+VMEM discipline (why the layouts look the way they do):
+  * Scale/zp tensors ride in ONE lane-major block per pool,
+    [B, H_kv, 4G, N] (rows = ksc|kzp|vsc|vzp groups, lanes = tokens).
+    The naive [B, H_kv, N, G] layout puts G (often 1) in the lane
+    dimension and pads every row to 128 lanes — 32-128x VMEM waste that
+    overflows the 16 MB scoped-vmem budget. Lane-major costs nothing:
+    per-token scales are applied algebraically in [rep, N] space
+    (see below), never expanded to [N, D].
+  * Segments are capped at _MAX_SEG_BYTES of stored K rows, independent
+    of `decode_segment_tokens`, so a 32K-context pool can never demand a
+    multi-MB double-buffered block.
+
+Per-token scales (G == 1, the default) never materialize dequantized K/V:
+    s[r, n] = (q·cᵏᵀ − (Σ_d q)·zpᵏ) · scᵏ · sm_scale
+    o[r, d] = (p·scᵛ)·cᵛ − Σ_n p·(scᵛ·zpᵛ)
+i.e. the (code − zp)·scale affine folds into rank-1 corrections around the
+raw integer-code matmuls. Group scales (G > 1) transpose the small [G, N]
+block and expand per-channel as before.
 
 Layout contract (ops/quantization.py): codes are chunk-strided token-packed
 — within each `pack_chunk_tokens` chunk, token j*R + r lives in byte row r
-at bit offset j*bits — so a segment (= one chunk) unpacks with pure
+at bit offset j*bits — so a segment (= w packing chunks) unpacks with pure
 shift + mask + sublane concat, and its scales/positions are CONTIGUOUS
-slices (the reason for chunked packing). Scales/zps are per
-(token, kv-head, group); group scales expand to channels in-kernel via a
-broadcast + minor-dim reshape.
+lane slices (the reason for chunked packing).
 
 Masking contract: the caller folds validity into positions (invalid slot →
 position 2^30); the kernel's only mask is position <= query position.
@@ -48,6 +64,12 @@ Array = jax.Array
 NEG_INF = -1e30
 POS_SENTINEL = 1 << 30
 
+# Per-segment budget for one stored K (or V) block in VMEM, pre-padding.
+# With d=64 lane-padded to 128 and double buffering, a 32 KB cap keeps all
+# pools' K+V buffers around 2-3 MB total — comfortably inside the 16 MB
+# scoped-vmem limit at any context length.
+_MAX_SEG_BYTES = 32 * 1024
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
@@ -59,53 +81,45 @@ def _bytes_to_i32(stored):
     return pltpu.bitcast(stored, jnp.int8).astype(jnp.int32) & 0xFF
 
 
-def _expand_groups(scale, n_tokens: int, d: int):
-    """[N, G] per-group params → [N, D] per-channel (G groups of D/G).
+def _expand_groups(scale_gn, d: int):
+    """Lane-major [G, N] per-group params → [N, D] per-channel.
 
-    Mosaic rejects the broadcast+minor-dim-reshape spelling, so the
-    expansion is a dot with an iota-built 0/1 selection matrix
-    E[g, ch] = (ch // gs == g) — a tiny [N, G] x [G, D] MXU matmul that
-    always lowers.
+    A dot_general contracting the G axes against an iota-built 0/1
+    selection matrix E[g, ch] = (ch // gs == g) — transposes to token-major
+    and expands groups to channels in one tiny MXU matmul that always
+    lowers (Mosaic rejects broadcast+minor-dim-reshape spellings).
     """
-    g = scale.shape[-1]
-    if g == 1:
-        return jnp.broadcast_to(scale, (n_tokens, d))
+    g = scale_gn.shape[0]
     gs = d // g
     col_group = jax.lax.broadcasted_iota(jnp.int32, (g, d), 1) // gs
     row = jax.lax.broadcasted_iota(jnp.int32, (g, d), 0)
     expand = (col_group == row).astype(jnp.float32)
-    return jax.lax.dot(scale.astype(jnp.float32), expand,
-                       preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(scale_gn.astype(jnp.float32), expand,
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _unpack_dequant(stored, scale, zp, bits, n_tokens, d, w=1):
-    """[R, D] packed (or [N, D] raw) → [N, D] float32 values.
+def _unpack_codes(stored, bits, n_tokens, d, w=1):
+    """[R, D] packed (or [N, D] raw) uint8 → [N, D] float32 integer codes.
 
     `w` = packing chunks in this segment: sub-byte rows unpack per chunk
-    (static slices + sublane concat — chunked-strided layout contract)."""
-    if bits == 16:
-        return stored.astype(jnp.float32)
+    (static slices + sublane concat — chunk-strided layout contract)."""
     p = _bytes_to_i32(stored)
     if bits == 8:
-        codes = p.astype(jnp.float32)
-    else:
-        per_byte = 8 // bits
-        mask = 2 ** bits - 1
-        if w == 1:
-            parts = [((p >> (j * bits)) & mask) for j in range(per_byte)]
-            codes = jnp.concatenate(parts, axis=0)[:n_tokens] \
-                .astype(jnp.float32)
-        else:
-            rows_c = p.shape[0] // w
-            chunks = []
-            for c in range(w):
-                pc = p[c * rows_c:(c + 1) * rows_c]
-                chunks.append(jnp.concatenate(
-                    [((pc >> (j * bits)) & mask) for j in range(per_byte)],
-                    axis=0))
-            codes = jnp.concatenate(chunks, axis=0).astype(jnp.float32)
-    return ((codes - _expand_groups(zp, n_tokens, d))
-            * _expand_groups(scale, n_tokens, d))
+        return p.astype(jnp.float32)
+    per_byte = 8 // bits
+    mask = 2 ** bits - 1
+    if w == 1:
+        parts = [((p >> (j * bits)) & mask) for j in range(per_byte)]
+        return jnp.concatenate(parts, axis=0)[:n_tokens].astype(jnp.float32)
+    rows_c = p.shape[0] // w
+    chunks = []
+    for c in range(w):
+        pc = p[c * rows_c:(c + 1) * rows_c]
+        chunks.append(jnp.concatenate(
+            [((pc >> (j * bits)) & mask) for j in range(per_byte)],
+            axis=0))
+    return jnp.concatenate(chunks, axis=0).astype(jnp.float32)
 
 
 class _Entry(NamedTuple):
@@ -117,15 +131,13 @@ class _Entry(NamedTuple):
     n_segs: int
     seg_start: int    # first segment index in the global walk
     w: int = 1        # packing chunks per segment
+    g: int = 1        # scale groups per head
 
 
 def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
                    entries: Tuple[_Entry, ...], total_segs: int, d: int,
                    hkv: int, rep: int,
                    m_scr=None, l_scr=None, acc_scr=None):
-    """Grid (batch, segment); ALL kv heads process inside one program (a
-    static head loop) — v5e has a single TensorCore, so fewer, fatter grid
-    steps beat head-level grid parallelism (per-step overhead ~ us)."""
     o_ref = refs[-1]
     refs = refs[:-1]
     seg = pl.program_id(1)
@@ -139,34 +151,66 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
     qpos = qpos_ref[0]                           # [1, 1] (broadcasts)
 
     for e_idx, e in enumerate(entries):
-        k_r, v_r, ksc, kzp, vsc, vzp, pos_r = refs[e_idx * 7:e_idx * 7 + 7]
+        k_r, v_r, sc_r, pos_r = refs[e_idx * 4:e_idx * 4 + 4]
 
         @pl.when((seg >= e.seg_start) & (seg < e.seg_start + e.n_segs))
-        def _run(e=e, k_r=k_r, v_r=v_r, ksc=ksc, kzp=kzp, vsc=vsc, vzp=vzp,
-                 pos_r=pos_r):
+        def _run(e=e, k_r=k_r, v_r=v_r, sc_r=sc_r, pos_r=pos_r):
             pos_ok = pos_r[0] <= qpos            # [1, N] (broadcasts)
+            n = e.seg_tokens
             for h in range(hkv):
                 rs = slice(h * rep, (h + 1) * rep)
                 q = q_ref[0, h].astype(jnp.float32)          # [rep, d]
-                k = _unpack_dequant(k_r[0, h], ksc[0, h], kzp[0, h], e.bits,
-                                    e.seg_tokens, d, w=e.w)
-                v = _unpack_dequant(v_r[0, h], vsc[0, h], vzp[0, h], e.bits,
-                                    e.seg_tokens, d, w=e.w)
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * sm_scale  # [rep,N]
+
+                if e.bits == 16:
+                    k = k_r[0, h].astype(jnp.float32)        # [N, d]
+                    s = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * sm_scale
+                else:
+                    ck = _unpack_codes(k_r[0, h], e.bits, n, d, w=e.w)
+                    sc4 = sc_r[0, h]                         # [4G, N]
+                    g = e.g
+                    ksc, kzp = sc4[0:g], sc4[g:2 * g]
+                    vsc, vzp = sc4[2 * g:3 * g], sc4[3 * g:4 * g]
+                    if g == 1:
+                        cs = jax.lax.dot_general(
+                            q, ck, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [rep, N]
+                        qsum = jnp.sum(q, axis=1, keepdims=True)  # [rep, 1]
+                        s = (cs - qsum * kzp) * ksc * sm_scale
+                    else:
+                        k = ((ck - _expand_groups(kzp, d))
+                             * _expand_groups(ksc, d))
+                        s = jax.lax.dot_general(
+                            q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+
                 s = jnp.where(pos_ok, s, NEG_INF)
                 m_prev = m_scr[rs]
                 l_prev = l_scr[rs]
                 m_curr = jnp.max(s, axis=1, keepdims=True)
                 m_next = jnp.maximum(m_prev, m_curr)
                 alpha = jnp.exp(m_prev - m_next)
-                p = jnp.exp(s - m_next)
+                p = jnp.exp(s - m_next)                      # [rep, N]
                 m_scr[rs] = m_next
                 l_scr[rs] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                acc_scr[rs] = acc_scr[rs] * alpha + jax.lax.dot(
-                    p, v.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+
+                if e.bits == 16:
+                    v = v_r[0, h].astype(jnp.float32)
+                    pv = jax.lax.dot(p, v,
+                                     preferred_element_type=jnp.float32)
+                else:
+                    cv = _unpack_codes(v_r[0, h], e.bits, n, d, w=e.w)
+                    if e.g == 1:
+                        pv = jax.lax.dot(p * vsc, cv,
+                                         preferred_element_type=jnp.float32)
+                        pv -= jnp.sum(p * (vsc * vzp), axis=1, keepdims=True)
+                    else:
+                        v = ((cv - _expand_groups(vzp, d))
+                             * _expand_groups(vsc, d))
+                        pv = jax.lax.dot(p, v,
+                                         preferred_element_type=jnp.float32)
+                acc_scr[rs] = acc_scr[rs] * alpha + pv
 
     @pl.when(seg == total_segs - 1)
     def _finalize():
@@ -234,11 +278,8 @@ def fused_decode_attention(
     if recent.capacity:
         r_mask = jnp.arange(recent.capacity)[None, :] < recent.length[:, None]
         r_pos = jnp.where(r_mask, recent.positions, POS_SENTINEL)
-        g = recent.k.shape[-1] // (cfg.quant_group_size or recent.k.shape[-1])
-        ones = jnp.ones((b, recent.capacity, hkv, g), jnp.float32)
-        zeros = jnp.zeros_like(ones)
         raw_entries.append((16, recent.capacity,
-                            (recent.k, recent.v, ones, zeros, ones, zeros,
+                            (recent.k, recent.v, None, None, None, None,
                              r_pos)))
 
     # ---- build specs: grid walks segments; index maps clamp out of range --
@@ -254,36 +295,63 @@ def fused_decode_attention(
         k_s, v_s, ksc, kzp, vsc, vzp, masked_pos = arrays
         n = masked_pos.shape[1]
         n_chunks = n // chunk
-        # Group whole chunks per segment up to decode_segment_tokens: fewer
-        # grid steps (less per-step overhead, bigger matmuls) at unchanged
-        # capacity granularity. Raw (8/16-bit) entries have order-free rows,
-        # so any grouping works; sub-byte entries unpack per chunk in-kernel.
-        target_w = max(1, cfg.decode_segment_tokens // chunk)
-        w = next(x for x in range(min(target_w, n_chunks), 0, -1)
-                 if n_chunks % x == 0)
-        seg_tokens = w * chunk
-        n_segs = n_chunks // w
         rows_total = k_s.shape[1]
-        seg_rows = rows_total // n_segs
+        rows_per_chunk = rows_total // n_chunks
+        # Group whole chunks per segment: fewer grid steps (less per-step
+        # overhead, bigger matmuls) at unchanged capacity granularity —
+        # capped by BOTH decode_segment_tokens and the VMEM byte budget
+        # (_MAX_SEG_BYTES per stored block), so 32K pools stay compilable.
+        # `w` need not divide n_chunks: entries pad to a whole number of
+        # segments (padded positions carry the sentinel, so they mask off;
+        # the pads are loop-invariant and hoist out of the decode scan).
+        itemsize = jnp.dtype(k_s.dtype).itemsize
+        max_rows = max(rows_per_chunk, _MAX_SEG_BYTES // (d * itemsize))
+        target_w = max(1, min(cfg.decode_segment_tokens // chunk,
+                              max_rows // rows_per_chunk))
+        w = min(target_w, n_chunks)
+        n_segs = -(-n_chunks // w)
+        if n_chunks % w:
+            pad_c = n_segs * w - n_chunks
+            k_s = jnp.pad(k_s, ((0, 0), (0, pad_c * rows_per_chunk),
+                                (0, 0), (0, 0)))
+            v_s = jnp.pad(v_s, ((0, 0), (0, pad_c * rows_per_chunk),
+                                (0, 0), (0, 0)))
+            masked_pos = jnp.pad(masked_pos, ((0, 0), (0, pad_c * chunk)),
+                                 constant_values=POS_SENTINEL)
+            if ksc is not None:
+                pad4 = ((0, 0), (0, pad_c * chunk), (0, 0), (0, 0))
+                ksc, kzp = jnp.pad(ksc, pad4), jnp.pad(kzp, pad4)
+                vsc, vzp = jnp.pad(vsc, pad4), jnp.pad(vzp, pad4)
+            n = n_segs * w * chunk
+        seg_tokens = w * chunk
+        seg_rows = k_s.shape[1] // n_segs
+        g = 1 if ksc is None else ksc.shape[-1]
         e = _Entry(bits=bits, seg_tokens=seg_tokens, seg_rows=seg_rows,
-                   n_segs=n_segs, seg_start=seg_cursor, w=w)
+                   n_segs=n_segs, seg_start=seg_cursor, w=w, g=g)
         entries.append(e)
         seg_cursor += n_segs
 
         def idx4(start=e.seg_start, ns=e.n_segs):
             return lambda bi, si: (bi, 0, jnp.clip(si - start, 0, ns - 1), 0)
 
-        gk = ksc.shape[-1]
-        for arr, blk, imap in (
-            (hm(k_s), (1, hkv, seg_rows, d), idx4()),
-            (hm(v_s), (1, hkv, seg_rows, d), idx4()),
-            (hm(ksc), (1, hkv, seg_tokens, gk), idx4()),
-            (hm(kzp), (1, hkv, seg_tokens, gk), idx4()),
-            (hm(vsc), (1, hkv, seg_tokens, gk), idx4()),
-            (hm(vzp), (1, hkv, seg_tokens, gk), idx4()),
-        ):
-            inputs.append(arr)
-            in_specs.append(pl.BlockSpec(blk, imap))
+        def idx_tok(start=e.seg_start, ns=e.n_segs):
+            return lambda bi, si: (bi, 0, 0, jnp.clip(si - start, 0, ns - 1))
+
+        inputs.append(hm(k_s))
+        in_specs.append(pl.BlockSpec((1, hkv, seg_rows, d), idx4()))
+        inputs.append(hm(v_s))
+        in_specs.append(pl.BlockSpec((1, hkv, seg_rows, d), idx4()))
+        # Scales ride lane-major: [B, H, 4G, N] (rows ksc|kzp|vsc|vzp).
+        # bits==16 ignores scales; a tiny zero block keeps the ref layout
+        # uniform without shipping real arrays.
+        if bits == 16:
+            sc_pack = jnp.zeros((b, hkv, 4, n), jnp.float32)
+        else:
+            lm = lambda a: jnp.transpose(a, (0, 2, 3, 1))  # [B,N,H,G]→[B,H,G,N]
+            sc_pack = jnp.concatenate(
+                [lm(ksc), lm(kzp), lm(vsc), lm(vzp)], axis=2)
+        inputs.append(sc_pack)
+        in_specs.append(pl.BlockSpec((1, hkv, 4 * g, seg_tokens), idx_tok()))
         inputs.append(masked_pos[:, None, :])
         in_specs.append(pl.BlockSpec(
             (1, 1, seg_tokens),

@@ -39,7 +39,13 @@ def _interpret_default() -> bool:
 def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
                   m_scr, l_scr, acc_scr, pmass_scr,
                   *, sm_scale: float, block_q: int, block_k: int,
-                  kv_blocks: int, causal: bool = True):
+                  kv_blocks: int, n_rep: int, causal: bool = True):
+    """Grid (batch, kv_head, q_block, kv_block): the whole GQA group
+    (`n_rep` query heads sharing one kv head) processes per step, so each
+    K/V block DMAs once for the group and the grid is H_q/n_rep times
+    shorter. Running stats (m, l, pmass) pack the group's heads into the
+    LANE dimension ([block_q, n_rep] scratch) — per-head [block_q, 1]
+    columns would pad every head to 128 lanes in VMEM."""
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -58,42 +64,49 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
     def _run():
         # Keep q/k/v in their input dtype for the dots (bf16 runs the MXU at
         # native rate with f32 accumulation; f32 inputs behave as before).
-        q = q_ref[0, 0]                                  # [bq, d]
-        k = k_ref[0, 0]                                  # [bk, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # [bq, bk] f32
+        k = k_ref[0, 0]                                   # [bk, d]
+        v = v_ref[0, 0]                                   # [bk, d]
 
+        # Masks are head-independent: build once for the group.
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
             + kv_idx * block_k
         if causal:
             row_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0) + q_idx * block_q
-            s = jnp.where(col_ids <= row_ids, s, DEFAULT_MASK_VALUE)
-
-        m_prev = m_scr[...]                               # [bq, 1]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)        # [bq, 1]
-        m_next = jnp.maximum(m_prev, m_curr)              # [bq, 1]
-        alpha = jnp.exp(m_prev - m_next)                  # [bq, 1]
-        p = jnp.exp(s - m_next)                           # [bq, bk]
-        m_scr[...] = m_next
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
-        # Prompt-mass side-channel: same running-rescale as l, but summing
-        # only prompt columns (col < P_b, causality already applied to p via
-        # the mask value making exp ≈ 0). The rescale-by-alpha must run on
-        # every block; the column sum only where the block overlaps the
-        # prompt prefix.
+            causal_ok = col_ids <= row_ids
         plen = plen_ref[0]                                # [1, 1]
         in_prompt_block = kv_idx * block_k < plen[0, 0]
         pmask = (col_ids < plen) & in_prompt_block
-        contrib = jnp.sum(jnp.where(pmask, p, 0.0), axis=1, keepdims=True)
-        pmass_scr[...] = alpha * pmass_scr[...] + contrib
 
-        v = v_ref[0, 0]                                   # [bk, d]
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        for r in range(n_rep):
+            rc = slice(r, r + 1)
+            q = q_ref[0, r]                               # [bq, d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+            if causal:
+                s = jnp.where(causal_ok, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[:, rc]                         # [bq, 1]
+            l_prev = l_scr[:, rc]
+            m_curr = jnp.max(s, axis=1, keepdims=True)    # [bq, 1]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)                       # [bq, bk]
+            m_scr[:, rc] = m_next
+            l_scr[:, rc] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+            # Prompt-mass side-channel: same running-rescale as l, but
+            # summing only prompt columns (col < P_b; causality is already
+            # in p via the mask value making exp ≈ 0). The rescale-by-alpha
+            # runs on every block; the column sum only where the block
+            # overlaps the prompt prefix.
+            contrib = jnp.sum(jnp.where(pmask, p, 0.0), axis=1,
+                              keepdims=True)
+            pmass_scr[:, rc] = alpha * pmass_scr[:, rc] + contrib
+
+            acc_scr[r] = acc_scr[r] * alpha + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     # Last kv block this q block needs: write normalized output.
     if causal:
@@ -104,12 +117,15 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
 
     @pl.when(kv_idx == last_kv)
     def _finalize():
-        l = l_scr[...]
+        l = l_scr[...]                                    # [bq, n_rep]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        for r in range(n_rep):
+            o_ref[0, r] = (acc_scr[r] * l_inv[:, r:r + 1]).astype(o_ref.dtype)
+        # lse/pm outputs are lane-major [n_rep, bq] (a [bq, 1] column per
+        # head would VMEM-pad to 128 lanes); transpose the small stat tiles.
         lse = m_scr[...] + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0, 0] = lse.astype(lse_ref.dtype)          # [bq, 1]
-        pm_ref[0, 0] = (pmass_scr[...] * l_inv).astype(pm_ref.dtype)
+        lse_ref[0, 0] = lse.T.astype(lse_ref.dtype)       # [n_rep, bq]
+        pm_ref[0, 0] = (pmass_scr[...] * l_inv).T.astype(pm_ref.dtype)
 
 
 def _flash_attention_bhsd(
@@ -131,38 +147,40 @@ def _flash_attention_bhsd(
     nq = s // block_q
     nkv = k.shape[2] // block_k
 
-    grid = (b, hq, nq, nkv)
+    grid = (b, hkv, nq, nkv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        kv_blocks=nkv, causal=causal)
+        kv_blocks=nkv, n_rep=n_rep, causal=causal)
     o, lse, pm = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda b, h, qi, ki: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b, g, qi, ki: (b, 0, 0)),
+            pl.BlockSpec((1, n_rep, block_q, d),
+                         lambda b, g, qi, ki: (b, g, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, h, qi, ki: (b, h // n_rep, ki, 0)),
+                         lambda b, g, qi, ki: (b, g, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, h, qi, ki: (b, h // n_rep, ki, 0)),
+                         lambda b, g, qi, ki: (b, g, ki, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
-                         lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
-                         lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, n_rep, block_q, d),
+                         lambda b, g, qi, ki: (b, g, qi, 0)),
+            pl.BlockSpec((1, 1, n_rep, block_q),
+                         lambda b, g, qi, ki: (b, g, 0, qi)),
+            pl.BlockSpec((1, 1, n_rep, block_q),
+                         lambda b, g, qi, ki: (b, g, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, n_rep, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, n_rep, s), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, n_rep), jnp.float32),
+            pltpu.VMEM((block_q, n_rep), jnp.float32),
+            pltpu.VMEM((n_rep, block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, n_rep), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -170,7 +188,10 @@ def _flash_attention_bhsd(
         ),
         interpret=interpret,
     )(plens, q, k, v)
-    return o, lse[..., 0], pm[..., 0]
+    # [B, Hkv, n_rep, S] → [B, Hq, S] (kv-grouped heads are contiguous).
+    lse = lse.reshape(b, hq, s)
+    pm = pm.reshape(b, hq, s)
+    return o, lse, pm
 
 
 def flash_prefill_with_prompt_mass(
