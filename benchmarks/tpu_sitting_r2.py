@@ -19,6 +19,7 @@ Usage: timeout 5400 python benchmarks/tpu_sitting_r2.py [--phases a,b,...]
 
 import argparse
 import dataclasses
+import functools
 import json
 import os
 import sys
@@ -283,6 +284,95 @@ def _decode_bench(mcfg, ccfg, seq, new_tokens, batch, rtt, tag,
     return res, params
 
 
+@phase("attn_micro")
+def attn_micro():
+    """Isolate decode ATTENTION cost (no weights/MLP): fused kernel vs the
+    XLA path at its two honest variants —
+      xla_hoisted: dense dequantized cache materialized once outside the
+        loop (what XLA's loop-invariant hoisting does inside decode_loop's
+        scan; costs dense-cache HBM *footprint*),
+      fused: the single-launch kernel reading packed bytes (keeps the
+        compressed footprint).
+    A decode_segment_tokens sweep turns the fused timings into a direct
+    per-grid-step overhead estimate."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_kv_cache_compression_tpu import CompressionConfig
+    from realtime_kv_cache_compression_tpu.compression import (
+        compress_layer_kv, dequantize_layer_cache, init_recent_cache)
+    from realtime_kv_cache_compression_tpu.ops.attention import (
+        attention_over_tokens)
+    from realtime_kv_cache_compression_tpu.ops.pallas.decode_attention import (
+        fused_decode_attention)
+    from realtime_kv_cache_compression_tpu.utils.timing import (measure_rtt,
+                                                                readback,
+                                                                timed)
+
+    rtt = measure_rtt()
+    rng = np.random.default_rng(0)
+    hq, hkv, d = 32, 4, 64
+    n_iter = 200
+    out = {}
+    from realtime_kv_cache_compression_tpu import tiny_test_model
+    mcfg = tiny_test_model(num_kv_heads=hkv, num_heads=hq, head_dim=d,
+                           dtype="bfloat16")
+    for b, s in ((1, 4096), (8, 4096), (1, 32768)):
+        base = CompressionConfig(num_layers=mcfg.num_layers,
+                                 high_precision_bits=8,
+                                 medium_precision_bits=4,
+                                 low_precision_bits=2)
+        k = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.bfloat16)
+        mass = jnp.asarray(rng.random((b, s)), jnp.float32)
+        cache, _ = compress_layer_kv(k, v, mass, 0, base, mcfg)
+        recent = init_recent_cache(b, 64, mcfg, dtype=jnp.bfloat16)
+        q = jnp.asarray(rng.normal(size=(b, 1, hq, d)), jnp.bfloat16)
+        q_pos = jnp.full((b, 1), s + 1, jnp.int32)
+
+        def run_fused(q, cfg):
+            def body(_, qq):
+                o = fused_decode_attention(qq, cache, recent, q_pos, cfg)
+                return qq + o * jnp.asarray(1e-6, qq.dtype)
+            return jax.lax.fori_loop(0, n_iter, body, q)
+
+        def run_xla_hoisted(q):
+            k_c, v_c, pos_c, valid_c = dequantize_layer_cache(
+                cache, base, q.dtype)
+            rv = (jnp.arange(recent.capacity)[None]
+                  < recent.length[:, None])
+            kk = jnp.concatenate([k_c.astype(q.dtype), recent.k], 1)
+            vv = jnp.concatenate([v_c.astype(q.dtype), recent.v], 1)
+            pp = jnp.concatenate([pos_c, recent.positions], 1)
+            va = jnp.concatenate([valid_c, rv], 1)
+
+            def body(_, qq):
+                o = attention_over_tokens(qq, kk, vv, pp, va, q_pos)
+                return qq + o * jnp.asarray(1e-6, qq.dtype)
+            return jax.lax.fori_loop(0, n_iter, body, q)
+
+        tag = f"b{b}_s{s//1024}k"
+        row = {}
+        fn = jax.jit(run_xla_hoisted)
+        readback(fn(q))
+        dt, _ = timed(lambda: readback(fn(q)), rtt, reps=3)
+        row["xla_hoisted_us"] = dt / n_iter * 1e6
+        for seg in (1024, 4096):
+            cfg = dc.replace(base, decode_segment_tokens=seg)
+            fnf = jax.jit(functools.partial(run_fused, cfg=cfg))
+            readback(fnf(q))
+            dt, _ = timed(lambda: readback(fnf(q)), rtt, reps=3)
+            row[f"fused_seg{seg}_us"] = dt / n_iter * 1e6
+        log(f"[{tag}] xla_hoisted {row['xla_hoisted_us']:.1f} us | "
+            + " ".join(f"seg{s_}={row[f'fused_seg{s_}_us']:.1f}us"
+                       for s_ in (1024, 4096)))
+        out[tag] = row
+    return out
+
+
 @phase("decode4k")
 def decode4k():
     import jax
@@ -519,7 +609,7 @@ def flash_calibration():
     return out
 
 
-PHASES = [golden, autotune, decode4k, long32k, int8_7b, seqpar,
+PHASES = [golden, autotune, attn_micro, decode4k, long32k, int8_7b, seqpar,
           flash_calibration]
 
 

@@ -147,9 +147,11 @@ class CompressionConfig:
     pack_chunk_tokens: int = 128
     # Target tokens per decode-kernel SEGMENT (one grid step): the kernel
     # groups whole chunks per segment up to this size, so grid-step count —
-    # and its per-step overhead — stays low while capacity rounding stays
-    # chunk-fine. Must be a multiple of pack_chunk_tokens.
-    decode_segment_tokens: int = 1024
+    # and its per-step overhead (~µs each, × layers × steps) — stays low
+    # while capacity rounding stays chunk-fine. Must be a multiple of
+    # pack_chunk_tokens. The kernel additionally caps each segment's stored
+    # bytes (decode_attention._MAX_SEG_BYTES) so VMEM blocks stay bounded.
+    decode_segment_tokens: int = 2048
 
     def __post_init__(self):
         for bits in (self.high_precision_bits, self.medium_precision_bits,

@@ -65,10 +65,11 @@ NEG_INF = -1e30
 POS_SENTINEL = 1 << 30
 
 # Per-segment budget for one stored K (or V) block in VMEM, pre-padding.
-# With d=64 lane-padded to 128 and double buffering, a 32 KB cap keeps all
-# pools' K+V buffers around 2-3 MB total — comfortably inside the 16 MB
-# scoped-vmem limit at any context length.
-_MAX_SEG_BYTES = 32 * 1024
+# Grid-step overhead is ~µs per segment × layers × decode steps, so fewer,
+# fatter segments win; 256 KB keeps the sum of all pools' double-buffered
+# K+V blocks (≤ 2x lane padding at d=64) around 6-8 MB worst case —
+# inside the 16 MB scoped-vmem limit at any context length.
+_MAX_SEG_BYTES = 256 * 1024
 
 
 def _interpret_default() -> bool:

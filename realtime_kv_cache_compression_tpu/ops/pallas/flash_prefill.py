@@ -45,7 +45,16 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
     K/V block DMAs once for the group and the grid is H_q/n_rep times
     shorter. Running stats (m, l, pmass) pack the group's heads into the
     LANE dimension ([block_q, n_rep] scratch) — per-head [block_q, 1]
-    columns would pad every head to 128 lanes in VMEM."""
+    columns would pad every head to 128 lanes in VMEM.
+
+    VPU-pass discipline (the kernel is VPU-bound at d=64, not MXU-bound):
+      * interior blocks (fully below the causal diagonal — half of all
+        blocks) take a maskless fast path: no iota/compare/select passes;
+      * the causal compare is one broadcast pass ([bq,1] row ids vs [1,bk]
+        col ids), never two materialized [bq,bk] iotas;
+      * prompt-mass passes run only for kv blocks overlapping the prompt
+        prefix (typically 1 of S/block_k blocks); elsewhere the mass only
+        rescales by alpha, which costs one [bq,n_rep] op."""
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -56,57 +65,72 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
         acc_scr[...] = jnp.zeros_like(acc_scr)
         pmass_scr[...] = jnp.zeros_like(pmass_scr)
 
-    # Causal block skip: run only if the block's first column can be visible
-    # to the block's last row. (Non-causal: every block runs — used by the
-    # ring-attention off-diagonal pairs, where all keys precede all queries.)
-    @pl.when((kv_idx * block_k <= (q_idx + 1) * block_q - 1)
-             if causal else kv_idx >= 0)
-    def _run():
-        # Keep q/k/v in their input dtype for the dots (bf16 runs the MXU at
-        # native rate with f32 accumulation; f32 inputs behave as before).
-        k = k_ref[0, 0]                                   # [bk, d]
-        v = v_ref[0, 0]                                   # [bk, d]
+    k = k_ref[0, 0]                                   # [bk, d]
+    v = v_ref[0, 0]                                   # [bk, d]
+    plen = plen_ref[0]                                # [1, 1]
+    in_prompt_block = kv_idx * block_k < plen[0, 0]   # dynamic scalar
+    col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+               + kv_idx * block_k)                    # [1, bk]
 
-        # Masks are head-independent: build once for the group.
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
-            + kv_idx * block_k
-        if causal:
-            row_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0) + q_idx * block_q
-            causal_ok = col_ids <= row_ids
-        plen = plen_ref[0]                                # [1, 1]
-        in_prompt_block = kv_idx * block_k < plen[0, 0]
-        pmask = (col_ids < plen) & in_prompt_block
-
+    def _process(apply_causal: bool):
+        # Keep q/k/v in their input dtype for the dots (bf16 runs the MXU
+        # at native rate with f32 accumulation).
+        if apply_causal:
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                       + q_idx * block_q)             # [bq, 1]
+            visible = col_ids <= row_ids              # one broadcast pass
         for r in range(n_rep):
             rc = slice(r, r + 1)
-            q = q_ref[0, r]                               # [bq, d]
+            q = q_ref[0, r]                           # [bq, d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
-            if causal:
-                s = jnp.where(causal_ok, s, DEFAULT_MASK_VALUE)
+            if apply_causal:
+                s = jnp.where(visible, s, DEFAULT_MASK_VALUE)
 
-            m_prev = m_scr[:, rc]                         # [bq, 1]
+            m_prev = m_scr[:, rc]                     # [bq, 1]
             l_prev = l_scr[:, rc]
-            m_curr = jnp.max(s, axis=1, keepdims=True)    # [bq, 1]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)                       # [bq, bk]
+            p = jnp.exp(s - m_next)                   # [bq, bk]
             m_scr[:, rc] = m_next
             l_scr[:, rc] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
-            # Prompt-mass side-channel: same running-rescale as l, but
-            # summing only prompt columns (col < P_b; causality is already
-            # in p via the mask value making exp ≈ 0). The rescale-by-alpha
-            # runs on every block; the column sum only where the block
-            # overlaps the prompt prefix.
-            contrib = jnp.sum(jnp.where(pmask, p, 0.0), axis=1,
-                              keepdims=True)
-            pmass_scr[:, rc] = alpha * pmass_scr[:, rc] + contrib
+            # Prompt-mass side-channel: the alpha rescale runs every block;
+            # the masked column sum only where the block overlaps the
+            # prompt prefix (causality is already in p via the mask value
+            # making exp ≈ 0).
+            pmass_scr[:, rc] = alpha * pmass_scr[:, rc]
+
+            @pl.when(in_prompt_block)
+            def _prompt_contrib(rc=rc, p=p):
+                contrib = jnp.sum(jnp.where(col_ids < plen, p, 0.0),
+                                  axis=1, keepdims=True)
+                pmass_scr[:, rc] = pmass_scr[:, rc] + contrib
 
             acc_scr[r] = acc_scr[r] * alpha + jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    if causal:
+        first_row = q_idx * block_q
+        last_row = first_row + block_q - 1
+        c0 = kv_idx * block_k
+        c1 = c0 + block_k - 1
+
+        # Interior: every column visible to every row — maskless fast path.
+        @pl.when(c1 <= first_row)
+        def _interior():
+            _process(apply_causal=False)
+
+        # Diagonal straddle: needs the causal select.
+        @pl.when((c1 > first_row) & (c0 <= last_row))
+        def _diag():
+            _process(apply_causal=True)
+        # c0 > last_row: block invisible, nothing runs (grid skip).
+    else:
+        # Ring-attention off-diagonal pair: all keys precede all queries.
+        _process(apply_causal=False)
 
     # Last kv block this q block needs: write normalized output.
     if causal:
