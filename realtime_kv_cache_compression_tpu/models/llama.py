@@ -195,6 +195,65 @@ def _prefill_attention(q, k, v, prompt_len, use_flash, prompt_lens=None):
                                               prompt_lens=prompt_lens)
 
 
+def prefill_layers_compressed(
+    layer_params: List[Params],
+    layer_offset: int,
+    h: Array,
+    positions: Array,
+    cos: Array,
+    sin: Array,
+    prompt_len: int,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+    max_decode_len: int,
+    use_flash: bool = False,
+    token_valid: Optional[Array] = None,
+    prompt_lens: Optional[Array] = None,
+):
+    """Compressed prefill over a contiguous range of layers.
+
+    The per-layer body of `prefill_compressed`, factored so pipeline stages
+    (parallel/pipeline.py) can run their own layer slice over incoming
+    hidden states. `layer_offset` is the global index of layer_params[0]
+    (layer-group ratios and layer weights depend on absolute depth).
+
+    Returns (h, caches, recents, pools, stats) for the given layers.
+    """
+    b, s = h.shape[:2]
+    caches, recents, pools, all_stats = [], [], [], []
+    for i, layer in enumerate(layer_params):
+        layer_idx = layer_offset + i
+        x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, x, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn_out, prompt_mass = _prefill_attention(q, k, v, prompt_len,
+                                                   use_flash, prompt_lens)
+
+        cache, stats = compress_layer_kv(k, v, prompt_mass, layer_idx, ccfg,
+                                         cfg, token_valid=token_valid,
+                                         prompt_lens=prompt_lens)
+        caches.append(cache)
+        all_stats.append(stats)
+        recents.append(init_recent_cache(b, max_decode_len, cfg))
+        pools.append(init_decode_pool(b, max_decode_len, ccfg, cfg))
+
+        if ccfg.recompute_prefill_attention:
+            # Reference-parity mode (modified_llama.py:125-140): the prefill
+            # output itself is recomputed against compressed K/V — here with
+            # exact survivor positions instead of a truncated mask.
+            k_d, v_d, pos_c, valid = dequantize_layer_cache(cache, ccfg,
+                                                            jnp.float32)
+            attn_out = attention_over_tokens(
+                q, k_d.astype(q.dtype), v_d.astype(q.dtype), pos_c, valid,
+                positions)
+
+        h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
+        x2 = rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps)
+        h = h + _mlp(layer, x2)
+    return h, caches, recents, pools, all_stats
+
+
 def prefill_compressed(
     params: Params,
     input_ids: Array,
@@ -238,36 +297,10 @@ def prefill_compressed(
         prompt_lens = None
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
-    caches, recents, pools, all_stats = [], [], [], []
-    for layer_idx, layer in enumerate(params["layers"]):
-        x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(layer, x, cfg)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        attn_out, prompt_mass = _prefill_attention(q, k, v, prompt_len,
-                                                   use_flash, prompt_lens)
-
-        cache, stats = compress_layer_kv(k, v, prompt_mass, layer_idx, ccfg,
-                                         cfg, token_valid=token_valid,
-                                         prompt_lens=prompt_lens)
-        caches.append(cache)
-        all_stats.append(stats)
-        recents.append(init_recent_cache(b, max_decode_len, cfg))
-        pools.append(init_decode_pool(b, max_decode_len, ccfg, cfg))
-
-        if ccfg.recompute_prefill_attention:
-            # Reference-parity mode (modified_llama.py:125-140): the prefill
-            # output itself is recomputed against compressed K/V — here with
-            # exact survivor positions instead of a truncated mask.
-            k_d, v_d, pos_c, valid = dequantize_layer_cache(cache, ccfg,
-                                                            jnp.float32)
-            attn_out = attention_over_tokens(
-                q, k_d.astype(q.dtype), v_d.astype(q.dtype), pos_c, valid,
-                positions)
-
-        h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
-        x2 = rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps)
-        h = h + _mlp(layer, x2)
+    h, caches, recents, pools, all_stats = prefill_layers_compressed(
+        params["layers"], 0, h, positions, cos, sin, prompt_len, cfg, ccfg,
+        max_decode_len, use_flash=use_flash, token_valid=token_valid,
+        prompt_lens=prompt_lens)
 
     if lengths is not None:
         last_h = jnp.take_along_axis(
@@ -361,37 +394,39 @@ def prefill_uncompressed(
 # Decode
 # ---------------------------------------------------------------------------
 
-def decode_step(
-    params: Params,
-    token: Array,
-    state: DecodeState,
+def decode_layers_step(
+    layer_params: List[Params],
+    h: Array,
+    caches,
+    recents,
+    pools,
+    q_pos: Array,
+    cos: Array,
+    sin: Array,
     cfg: ModelConfig,
     ccfg: CompressionConfig,
     use_fused: bool = False,
-) -> Tuple[Array, DecodeState]:
-    """One greedy-decode step over the compressed caches.
+):
+    """One decode step over a contiguous range of layers.
 
-    Args:
-      token: [B] current token ids.
-      state: decode state from `prefill_compressed`.
+    The per-layer body of `decode_step`, factored so pipeline stages
+    (parallel/pipeline.py) can advance their own layer slice. `caches`,
+    `recents`, `pools` are indexed locally (entry i belongs to
+    layer_params[i]); pools may be an empty tuple or hold None entries.
 
-    Returns (logits [B, V], updated state).
+    Returns (h, new_recents, new_pools).
     """
-    b = token.shape[0]
-    h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype))[:, None]  # [B,1,H]
-    q_pos = state.position[:, None]  # [B, 1]
-    cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
-
+    b = h.shape[0]
     new_recents, new_pools = [], []
-    have_pools = bool(state.pools) and state.pools[0] is not None
-    for layer_idx, layer in enumerate(params["layers"]):
+    have_pools = bool(pools) and pools[0] is not None
+    for i, layer in enumerate(layer_params):
         x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, x, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        recent = state.recents[layer_idx]
-        pool = state.pools[layer_idx] if have_pools else None
+        recent = recents[i]
+        pool = pools[i] if have_pools else None
         if pool is not None:
             # Decode-token compression: a full ring is quantized into the
             # layer's decode pool before this step's token is appended, so
@@ -401,7 +436,7 @@ def decode_step(
         recent = append_recent(recent, k, v, q_pos)
         new_recents.append(recent)
         new_pools.append(pool)
-        cache = state.caches[layer_idx]
+        cache = caches[i]
 
         if use_fused:
             from ..ops.pallas.decode_attention import fused_decode_attention
@@ -432,8 +467,36 @@ def decode_step(
 
         h = h + _matmul(attn_out.reshape(b, 1, cfg.q_dim), layer["wo"])
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+    return h, new_recents, new_pools
+
+
+def decode_step(
+    params: Params,
+    token: Array,
+    state: DecodeState,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+    use_fused: bool = False,
+) -> Tuple[Array, DecodeState]:
+    """One greedy-decode step over the compressed caches.
+
+    Args:
+      token: [B] current token ids.
+      state: decode state from `prefill_compressed`.
+
+    Returns (logits [B, V], updated state).
+    """
+    b = token.shape[0]
+    h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype))[:, None]  # [B,1,H]
+    q_pos = state.position[:, None]  # [B, 1]
+    cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
+
+    h, new_recents, new_pools = decode_layers_step(
+        params["layers"], h, state.caches, state.recents, state.pools,
+        q_pos, cos, sin, cfg, ccfg, use_fused=use_fused)
 
     logits = logits_from_hidden(params, h[:, 0], cfg)
+    have_pools = bool(state.pools) and state.pools[0] is not None
     state = DecodeState(caches=state.caches, recents=tuple(new_recents),
                         position=state.position + 1,
                         pools=tuple(new_pools) if have_pools

@@ -54,7 +54,12 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
         col ids), never two materialized [bq,bk] iotas;
       * prompt-mass passes run only for kv blocks overlapping the prompt
         prefix (typically 1 of S/block_k blocks); elsewhere the mass only
-        rescales by alpha, which costs one [bq,n_rep] op."""
+        rescales by alpha, which costs one [bq,n_rep] op;
+      * scores live in base-2 space: sm_scale*log2(e) is folded into the
+        [bq,d] q tile at load (cheap) so the [bq,bk] post-dot scale pass
+        disappears, and exp→exp2 drops the ln2 multiply the VPU would
+        otherwise do inside every exp. Running m/l stats are base-2; the
+        lse output converts back to ln space at finalize."""
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -79,12 +84,17 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
             row_ids = (jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
                        + q_idx * block_q)             # [bq, 1]
             visible = col_ids <= row_ids              # one broadcast pass
+        scale2 = jnp.asarray(sm_scale * 1.4426950408889634, jnp.float32)
         for r in range(n_rep):
             rc = slice(r, r + 1)
-            q = q_ref[0, r]                           # [bq, d]
+            # Fold sm_scale*log2(e) into the [bq,d] q tile: one cheap pass
+            # here replaces a [bq,bk] scale pass after the dot, and puts s
+            # in base-2 space so exp2 (no internal ln2 multiply) works.
+            q = (q_ref[0, r].astype(jnp.float32) * scale2).astype(
+                q_ref.dtype)                          # [bq, d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+                preferred_element_type=jnp.float32)   # [bq, bk], base-2
             if apply_causal:
                 s = jnp.where(visible, s, DEFAULT_MASK_VALUE)
 
@@ -92,8 +102,8 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
             l_prev = l_scr[:, rc]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)                   # [bq, bk]
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next)                  # [bq, bk]
             m_scr[:, rc] = m_next
             l_scr[:, rc] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
@@ -147,7 +157,9 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
             o_ref[0, r] = (acc_scr[r] * l_inv[:, r:r + 1]).astype(o_ref.dtype)
         # lse/pm outputs are lane-major [n_rep, bq] (a [bq, 1] column per
         # head would VMEM-pad to 128 lanes); transpose the small stat tiles.
-        lse = m_scr[...] + jnp.log(jnp.maximum(l, 1e-30))
+        # m is base-2; convert the lse output back to ln space.
+        lse = (m_scr[...] * 0.6931471805599453
+               + jnp.log(jnp.maximum(l, 1e-30)))
         lse_ref[0, 0] = lse.T.astype(lse_ref.dtype)       # [n_rep, bq]
         pm_ref[0, 0] = (pmass_scr[...] * l_inv).T.astype(pm_ref.dtype)
 
@@ -155,6 +167,7 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
 def _flash_attention_bhsd(
     q: Array, k: Array, v: Array, plens: Array, *, sm_scale: float,
     block_q: int, block_k: int, interpret: bool, causal: bool = True,
+    fold_gqa: bool = True,
 ) -> Tuple[Array, Array, Array]:
     """Flash attention on [B, H, S, D] tensors (S divisible by blocks).
 
@@ -162,6 +175,9 @@ def _flash_attention_bhsd(
     key block's local coordinates).
     causal=False computes full attention of every query over every key —
     the ring-attention off-diagonal case (keys globally precede queries).
+    fold_gqa=True runs the whole GQA group per grid step (K/V DMA once per
+    group, head loop in-kernel); False runs one query head per grid step
+    (finer grid, K/V re-fetched per head) — kept as an autotunable A/B.
     Returns (o [B,Hq,S,D], lse [B,Hq,S], pmass [B,Hq,S] — pmass normalized
     by the softmax denominator, recoverable to unnormalized via exp(lse)).
     """
@@ -171,40 +187,45 @@ def _flash_attention_bhsd(
     nq = s // block_q
     nkv = k.shape[2] // block_k
 
-    grid = (b, hkv, nq, nkv)
+    if fold_gqa:
+        grid_h, rep, kmap = hkv, n_rep, (lambda g: g)
+    else:
+        grid_h, rep, kmap = hq, 1, (lambda g: g // n_rep)
+
+    grid = (b, grid_h, nq, nkv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        kv_blocks=nkv, n_rep=n_rep, causal=causal)
+        kv_blocks=nkv, n_rep=rep, causal=causal)
     o, lse, pm = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda b, g, qi, ki: (b, 0, 0)),
-            pl.BlockSpec((1, n_rep, block_q, d),
+            pl.BlockSpec((1, rep, block_q, d),
                          lambda b, g, qi, ki: (b, g, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, g, qi, ki: (b, g, ki, 0)),
+                         lambda b, g, qi, ki: (b, kmap(g), ki, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, g, qi, ki: (b, g, ki, 0)),
+                         lambda b, g, qi, ki: (b, kmap(g), ki, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_rep, block_q, d),
+            pl.BlockSpec((1, rep, block_q, d),
                          lambda b, g, qi, ki: (b, g, qi, 0)),
-            pl.BlockSpec((1, 1, n_rep, block_q),
+            pl.BlockSpec((1, 1, rep, block_q),
                          lambda b, g, qi, ki: (b, g, 0, qi)),
-            pl.BlockSpec((1, 1, n_rep, block_q),
+            pl.BlockSpec((1, 1, rep, block_q),
                          lambda b, g, qi, ki: (b, g, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hkv, n_rep, s), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv, n_rep, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, grid_h, rep, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, grid_h, rep, s), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, n_rep), jnp.float32),
-            pltpu.VMEM((block_q, n_rep), jnp.float32),
-            pltpu.VMEM((n_rep, block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, n_rep), jnp.float32),
+            pltpu.VMEM((block_q, rep), jnp.float32),
+            pltpu.VMEM((block_q, rep), jnp.float32),
+            pltpu.VMEM((rep, block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, rep), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -212,7 +233,7 @@ def _flash_attention_bhsd(
         ),
         interpret=interpret,
     )(plens, q, k, v)
-    # [B, Hkv, n_rep, S] → [B, Hq, S] (kv-grouped heads are contiguous).
+    # [B, grid_h, rep, S] → [B, Hq, S] (kv-grouped heads are contiguous).
     lse = lse.reshape(b, hq, s)
     pm = pm.reshape(b, hq, s)
     return o, lse, pm
@@ -227,6 +248,7 @@ def flash_prefill_with_prompt_mass(
     block_k: int = 1024,
     interpret: Optional[bool] = None,
     prompt_lens: Optional[Array] = None,
+    fold_gqa: bool = True,
 ) -> Tuple[Array, Array]:
     """Causal flash attention + in-kernel prompt attention-mass side-channel.
 
@@ -277,7 +299,8 @@ def flash_prefill_with_prompt_mass(
     o, _lse, pm = _flash_attention_bhsd(qt, kt, vt, plens,
                                         sm_scale=sm_scale,
                                         block_q=block_q, block_k=block_k,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        fold_gqa=fold_gqa)
     o = o[:, :, :s]
     pm = pm[:, :, :s]
     return o.transpose(0, 2, 1, 3), pm.mean(axis=1)

@@ -1,4 +1,7 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, create_mesh, single_device_mesh
+from .pipeline import (PIPE_AXIS, PipelineInference, create_pipe_mesh,
+                       pipeline_lm_loss, pipeline_train_step,
+                       stack_pipeline_params, unstack_pipeline_params)
 from .ring_attention import ring_prefill_attention
 from .seq_parallel import SEQ_AXIS, create_seq_mesh, seq_parallel_prefill
 from .sharding import (constrain_decode_pool, constrain_decode_state,
@@ -7,7 +10,10 @@ from .sharding import (constrain_decode_pool, constrain_decode_state,
                        shard_params, tier_cache_specs)
 
 __all__ = [
-    "DATA_AXIS", "MODEL_AXIS", "SEQ_AXIS", "create_mesh", "create_seq_mesh",
+    "DATA_AXIS", "MODEL_AXIS", "PIPE_AXIS", "SEQ_AXIS",
+    "PipelineInference", "create_mesh", "create_pipe_mesh",
+    "create_seq_mesh", "pipeline_lm_loss", "pipeline_train_step",
+    "stack_pipeline_params", "unstack_pipeline_params",
     "ring_prefill_attention", "seq_parallel_prefill", "single_device_mesh",
     "constrain_decode_pool", "constrain_decode_state",
     "constrain_layer_cache", "constrain_recent_cache",
