@@ -57,7 +57,7 @@ def measure_rtt() -> float:
 
 def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
                 use_flash: bool, compare_uncompressed: bool, reps: int = 3,
-                use_fused_decode: bool = False, weight_bits: int = 16):
+                use_fused_decode=None, weight_bits: int = 16):
     from realtime_kv_cache_compression_tpu.compression import (
         summarize_layer_stats)
     from realtime_kv_cache_compression_tpu.models import llama
@@ -65,11 +65,15 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
         device_memory_stats, model_footprint_mb)
 
     dev = jax.devices()[0]
+    if use_fused_decode is None:
+        # Auto: the fused kernel wins on TPU at batch 1/8, 4K/32K (RESULTS.md
+        # round 2); interpret-mode Pallas would crawl anywhere else.
+        use_fused_decode = jax.default_backend() == "tpu"
     rtt = measure_rtt()
     log(f"device: {dev.device_kind}; readback RTT {rtt*1e3:.1f} ms; "
         f"model layers={mcfg.num_layers} hidden={mcfg.hidden_size} "
         f"kv_heads={mcfg.num_kv_heads}; seq={seq_len} new={new_tokens} "
-        f"flash={use_flash}")
+        f"flash={use_flash} fused_decode={use_fused_decode}")
 
     params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
     if weight_bits == 8:
@@ -182,9 +186,12 @@ def main():
                          "(alpha .6/.2/.2, theta .6/.2, bits 16/8/4, "
                          "threshold tiers -> ~0.45 kept ratio; VERDICT #5)")
     ap.add_argument("--no-flash", action="store_true")
-    ap.add_argument("--fused-decode", action="store_true",
-                    help="use the fused Pallas dequant-attention decode "
-                         "kernel")
+    ap.add_argument("--fused-decode", action="store_true", default=None,
+                    help="force the fused Pallas dequant-attention decode "
+                         "kernel (default: on for TPU)")
+    ap.add_argument("--no-fused-decode", dest="fused_decode",
+                    action="store_false",
+                    help="force the XLA dequant decode path")
     ap.add_argument("--no-baseline-arm", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
@@ -222,13 +229,14 @@ def main():
                           use_fused_decode=args.fused_decode,
                           weight_bits=args.weight_bits)
     except Exception as e:  # pallas path may not be available everywhere
-        if not use_flash and not args.fused_decode:
+        if not use_flash and args.fused_decode is False:
             raise
         log(f"pallas path failed ({type(e).__name__}: {e}); retrying "
             f"without kernels")
         res = bench_model(mcfg, ccfg, args.seq, args.new_tokens, args.batch,
                           False,
                           compare_uncompressed=not args.no_baseline_arm,
+                          use_fused_decode=False,
                           weight_bits=args.weight_bits)
 
     reference_compressed_tok_s = 3.6  # BASELINE.md, same 4096-token context

@@ -44,18 +44,30 @@ def save(phase, data):
     log(f"[saved {phase}]")
 
 
+PARTIAL: dict = {}
+
+
+def partial_out() -> dict:
+    """Phase-local result dict that survives a mid-phase crash: the phase
+    decorator saves whatever accumulated here alongside the error."""
+    PARTIAL.clear()
+    return PARTIAL
+
+
 def phase(name):
     def deco(fn):
         def run(*a, **kw):
             log(f"=== phase {name} ===")
             t0 = time.time()
+            PARTIAL.clear()
             try:
                 data = fn(*a, **kw)
                 data["phase_seconds"] = round(time.time() - t0, 1)
                 save(name, data)
             except Exception as e:
                 log(traceback.format_exc())
-                save(name, {"error": f"{type(e).__name__}: {e}"})
+                save(name, {**PARTIAL,
+                            "error": f"{type(e).__name__}: {e}"})
         run.phase_name = name
         return run
     return deco
@@ -82,7 +94,7 @@ def golden():
     from realtime_kv_cache_compression_tpu.ops.pallas.int8_matmul import (
         int8_matmul, int8_matmul_xla)
 
-    out = {}
+    out = partial_out()
     rng = np.random.default_rng(0)
     b, s, hq, hkv, d = 1, 512, 8, 4, 64
     q = jnp.asarray(rng.normal(size=(b, s, hq, d)), jnp.bfloat16)
@@ -325,7 +337,7 @@ def attn_micro():
     rng = np.random.default_rng(0)
     hq, hkv, d = 32, 4, 64
     n_iter = 1000  # ~ms totals so the ~30ms-RTT subtraction doesn't drown us
-    out = {}
+    out = partial_out()
     from realtime_kv_cache_compression_tpu import tiny_test_model
     mcfg = tiny_test_model(num_kv_heads=hkv, num_heads=hq, head_dim=d,
                            dtype="bfloat16")
@@ -373,7 +385,7 @@ def attn_micro():
             row["xla_hoisted_us"] = dt / n_iter * 1e6
         except Exception as e:
             row["xla_hoisted_us"] = f"FAIL {type(e).__name__}"
-        for seg in (1024, 2048, 4096):
+        for seg in (1024, 2048, 3072, 4096):
             try:
                 cfg = dc.replace(base, decode_segment_tokens=seg)
                 fnf = jax.jit(functools.partial(run_fused, cfg=cfg))
@@ -402,7 +414,7 @@ def decode4k():
                                max_position_embeddings=4096 + 256)
     ccfg = CompressionConfig(num_layers=22, high_precision_bits=8,
                              medium_precision_bits=4, low_precision_bits=2)
-    out = {}
+    out = partial_out()
     res, params = _decode_bench(mcfg, ccfg, 4096, 128, 1, rtt,
                                 "b1_xla", use_fused=False)
     out["b1_xla"] = res
@@ -461,6 +473,56 @@ def decode4k():
     return out
 
 
+@phase("decode4k_fill")
+def decode4k_fill():
+    """Rerun of the two decode4k arms lost to a relay disconnect
+    (kept045_fused + decode-pool); merges into r2_tpu_results.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_kv_cache_compression_tpu import (CompressionConfig,
+                                                   TINYLLAMA_1_1B)
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.utils.timing import (measure_rtt,
+                                                                readback,
+                                                                timed)
+
+    rtt = measure_rtt()
+    mcfg = dataclasses.replace(TINYLLAMA_1_1B,
+                               max_position_embeddings=4096 + 256)
+    ccfg = CompressionConfig(num_layers=22, high_precision_bits=8,
+                             medium_precision_bits=4, low_precision_bits=2)
+    out = partial_out()
+    params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
+    rmcfg = dataclasses.replace(ccfg, early_layer_ratio=0.45,
+                                middle_layer_ratio=0.45,
+                                later_layer_ratio=0.45)
+    res, _ = _decode_bench(mcfg, rmcfg, 4096, 128, 1, rtt, "kept045_fused",
+                           use_fused=True, params=params)
+    out["kept045_fused"] = res
+    pcfg = dataclasses.replace(ccfg, decode_pool_blocks=4)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 4096), 0,
+                             mcfg.vocab_size)
+    prefill = jax.jit(lambda p, i: llama.prefill_compressed(
+        p, i, mcfg, pcfg, max_decode_len=64, use_flash=True))
+    loop = jax.jit(lambda p, t, s: llama.decode_loop(
+        p, t, s, 127, mcfg, pcfg, use_fused=False))
+    logits, state, _ = prefill(params, ids)
+    tok = jnp.argmax(logits, axis=-1)
+    toks, _ = loop(params, tok, state)
+    readback(toks)
+    dt, _ = timed(lambda: readback(loop(params, tok, state)[0]), rtt, reps=3)
+    out["b1_pool_xla"] = {"ms_per_step": dt / 127 * 1e3,
+                          "tok_per_s": 127 / dt}
+    log(f"[pool] {dt/127*1e3:.2f} ms/step with ring flush")
+    # Merge into the decode4k record.
+    d4 = dict(RESULTS.get("decode4k", {}))
+    d4.update({k: v for k, v in out.items()})
+    d4.pop("note", None)
+    save("decode4k", d4)
+    return dict(out)
+
+
 @phase("long32k")
 def long32k():
     import dataclasses as dc
@@ -473,7 +535,7 @@ def long32k():
     mcfg = dc.replace(TINYLLAMA_1_1B, max_position_embeddings=32768 + 256)
     ccfg = CompressionConfig(num_layers=22, high_precision_bits=8,
                              medium_precision_bits=4, low_precision_bits=2)
-    out = {}
+    out = partial_out()
     res, params = _decode_bench(mcfg, ccfg, 32768, 64, 1, rtt, "32k_xla",
                                 use_fused=False)
     out["32k_xla"] = res
@@ -500,7 +562,7 @@ def int8_7b():
     mcfg = dc.replace(LLAMA2_7B, max_position_embeddings=4096 + 256)
     ccfg = CompressionConfig(num_layers=32, high_precision_bits=8,
                              medium_precision_bits=4, low_precision_bits=2)
-    out = {}
+    out = partial_out()
     params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
     qp = quantize_params_streaming(params)
     del params
@@ -587,7 +649,7 @@ def flash_calibration():
     q = jnp.asarray(rng.normal(size=(b, hq, s, d)), jnp.bfloat16)
     k = jnp.asarray(rng.normal(size=(b, hq, s, d)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(b, hq, s, d)), jnp.bfloat16)
-    out = {}
+    out = partial_out()
 
     def many_lib(q, k, v):
         def body(_, qq):
@@ -624,8 +686,8 @@ def flash_calibration():
     return out
 
 
-PHASES = [golden, autotune, attn_micro, decode4k, long32k, int8_7b, seqpar,
-          flash_calibration]
+PHASES = [golden, autotune, attn_micro, decode4k, decode4k_fill, long32k,
+          int8_7b, seqpar, flash_calibration]
 
 
 def main():

@@ -54,6 +54,10 @@ def compress_layer_kv(
     model_cfg: ModelConfig,
     token_valid: Array = None,
     prompt_lens: Array = None,
+    axis_name: str = None,
+    shard_offset: int = 0,
+    total_len: int = None,
+    minmax: tuple = None,
 ) -> Tuple[CompressedLayerCache, Dict[str, Array]]:
     """Compress one layer's prefill K/V into packed tier pools.
 
@@ -68,13 +72,32 @@ def compress_layer_kv(
         tokens are never stored, and position-bias / relevance terms follow
         the true per-row lengths.
       prompt_lens: optional [B] dynamic prompt lengths (with token_valid).
+      axis_name: FULLY-SHARDED MODE — set inside shard_map over a sequence
+        axis: k/v/prompt_mass are this shard's [B, S/n] slice; scores use
+        the exact global min-max (pmin/pmax), position bias uses global
+        positions (shard_offset/total_len), and selection runs LOCALLY with
+        the global budget split evenly (each shard keeps ratio*S/n tokens).
+        The per-shard pools concatenate along the slot axis into one logical
+        cache (out_specs P(None, seq)); stored `positions` are global, and
+        the packing chunk is recorded on the cache so decode unpacks the
+        concatenated layout correctly. Stats come back psum-aggregated
+        (identical on every shard). Uniform batches only.
+      shard_offset: global position of local token 0 (with axis_name, or the
+        chunked single-device reference path).
+      total_len: global sequence length (with axis_name/chunking).
+      minmax: optional ([B,1], [B,1]) global mass min/max override — the
+        single-device chunked reference path computes these once globally.
 
     Returns:
       (cache, stats) — `cache` is the layer's `CompressedLayerCache`; `stats`
       a flat dict of device arrays (per-layer compression metrics).
     """
     batch, seq_len, num_kv_heads, head_dim = k.shape
-    prompt_len = identify_prompt_length(seq_len, cfg)
+    sharded = axis_name is not None or minmax is not None
+    if sharded and token_valid is not None:
+        raise NotImplementedError("sharded compression: uniform batches only")
+    total = total_len if total_len is not None else seq_len
+    prompt_len = identify_prompt_length(total, cfg)
     group_size = cfg.quant_group_size or head_dim
     store_dtype = jnp.dtype(model_cfg.dtype)
 
@@ -82,7 +105,9 @@ def compress_layer_kv(
     # for uniform batches, per-row dynamic for ragged ones).
     lengths = token_valid.sum(axis=-1) if token_valid is not None else None
     scores = importance_scores(prompt_mass, layer_idx, seq_len, prompt_len,
-                               cfg, lengths=lengths, prompt_lens=prompt_lens)
+                               cfg, lengths=lengths, prompt_lens=prompt_lens,
+                               position_offset=shard_offset, total_len=total,
+                               minmax=minmax, axis_name=axis_name)
 
     # Step 3: precision labels + stats.
     labels, prec_stats = assign_precision(scores, cfg)
@@ -98,7 +123,22 @@ def compress_layer_kv(
     for slot, tier in enumerate((HIGH, MID, LOW)):
         idx, valid = sel.indices[slot], sel.valid[slot]
         bits = cfg.tier_bits(tier)
-        chunk = cfg.tier_chunk(idx.shape[1])
+        cap_loc = idx.shape[1]
+        chunk = cfg.tier_chunk(cap_loc)
+        if sharded:
+            # Per-shard pools concatenate along the slot axis; the global
+            # layout is then "chunked with C = the per-shard chunk" (C =
+            # cap_loc when this shard packed its whole axis as one chunk).
+            # Sub-byte packing pads cap_loc up to a multiple of 8/bits, which
+            # would break concatenation — require exact divisibility.
+            per_byte = max(1, 8 // bits)
+            if chunk is None and cap_loc % per_byte:
+                raise ValueError(
+                    f"sharded compression: tier capacity {cap_loc} must be "
+                    f"a multiple of {per_byte} ({bits}-bit packing)")
+            cache_chunk = chunk if chunk is not None else cap_loc
+        else:
+            cache_chunk = chunk
         k_t = _gather_tokens(k, idx)
         v_t = _gather_tokens(v, idx)
         k_stored, k_scale, k_zp = quantize_tier(
@@ -110,7 +150,8 @@ def compress_layer_kv(
         tiers.append(TierCache(
             k_stored=k_stored, v_stored=v_stored,
             k_scale=k_scale, k_zp=k_zp, v_scale=v_scale, v_zp=v_zp,
-            positions=idx.astype(jnp.int32), valid=valid,
+            positions=idx.astype(jnp.int32) + shard_offset, valid=valid,
+            chunk=cache_chunk,
         ))
     cache = CompressedLayerCache(tiers=tuple(tiers))
 
@@ -157,7 +198,44 @@ def compress_layer_kv(
         # with threshold_tier_slack >= 3).
         "demoted_count": sel.stats["demoted_count"],
     }
+    if axis_name is not None:
+        stats = _aggregate_sharded_stats(stats, scores, axis_name, kept)
     return cache, stats
+
+
+def _aggregate_sharded_stats(stats: Dict[str, Array], scores: Array,
+                             axis_name: str, kept: Array) -> Dict[str, Array]:
+    """Exact global stats from per-shard stats (equal-size shards).
+
+    Counts psum; means pmean (equal shards ⇒ exact); min/max pmin/pmax; std
+    from pooled E[x]/E[x²]; ratios recomputed from the psummed primitives.
+    """
+    psum = lambda x: jax.lax.psum(x, axis_name)
+    pmean = lambda x: jax.lax.pmean(x, axis_name)
+    out = dict(stats)
+    out["seq_len"] = psum(stats["seq_len"])
+    out["kept_tokens"] = psum(stats["kept_tokens"])
+    out["compression_ratio"] = out["kept_tokens"] / out["seq_len"]
+    out["token_memory_savings"] = 1.0 - out["compression_ratio"]
+    mean_g = pmean(scores.mean(axis=-1))
+    sq_g = pmean((scores ** 2).mean(axis=-1))
+    out["importance_mean"] = mean_g
+    out["importance_std"] = jnp.sqrt(jnp.maximum(sq_g - mean_g ** 2, 0.0))
+    out["importance_min"] = jax.lax.pmin(stats["importance_min"], axis_name)
+    out["importance_max"] = jax.lax.pmax(stats["importance_max"], axis_name)
+    for key in ("label_high_ratio", "label_medium_ratio", "label_low_ratio",
+                "byte_compression_ratio", "byte_memory_savings",
+                "budget_utilization"):
+        out[key] = pmean(stats[key])
+    for key in ("stored_high", "stored_medium", "stored_low",
+                "demoted_count"):
+        out[key] = psum(stats[key])
+    # Selected-importance mean weighted by each shard's kept count.
+    w = kept.astype(jnp.float32)
+    out["avg_selected_importance"] = (
+        psum(stats["avg_selected_importance"] * w)
+        / jnp.maximum(psum(w), 1.0))
+    return out
 
 
 def dequantize_layer_cache(
@@ -177,7 +255,7 @@ def dequantize_layer_cache(
         if t.capacity == 0:
             continue
         bits = cfg.tier_bits(tier)
-        chunk = cfg.tier_chunk(t.capacity)
+        chunk = t.chunk if t.chunk is not None else cfg.tier_chunk(t.capacity)
         ks.append(dequantize_tier(t.k_stored, t.k_scale, t.k_zp, bits, dtype,
                                   chunk=chunk))
         vs.append(dequantize_tier(t.v_stored, t.v_scale, t.v_zp, bits, dtype,
@@ -186,6 +264,89 @@ def dequantize_layer_cache(
         valids.append(t.valid)
     return (jnp.concatenate(ks, axis=1), jnp.concatenate(vs, axis=1),
             jnp.concatenate(ps, axis=1), jnp.concatenate(valids, axis=1))
+
+
+def concat_layer_caches(caches: List[CompressedLayerCache]
+                        ) -> CompressedLayerCache:
+    """Concatenate per-chunk/per-shard layer caches along the slot axis.
+
+    All inputs must share tier shapes and packing chunk (true for the
+    equal-split chunked/sharded compression paths). The result is one
+    logical cache whose layout is chunked with C = the per-part chunk.
+    """
+    tiers = []
+    for i in range(len(caches[0].tiers)):
+        parts = [c.tiers[i] for c in caches]
+        chunks = {p.chunk for p in parts}
+        if len(chunks) != 1:
+            raise ValueError(f"mismatched packing chunks: {chunks}")
+        tiers.append(TierCache(
+            **{f: jnp.concatenate([getattr(p, f) for p in parts], axis=1)
+               for f in ("k_stored", "v_stored", "k_scale", "k_zp",
+                         "v_scale", "v_zp", "positions", "valid")},
+            chunk=parts[0].chunk))
+    return CompressedLayerCache(tiers=tuple(tiers))
+
+
+def compress_layer_kv_chunked(
+    k: Array,
+    v: Array,
+    prompt_mass: Array,
+    layer_idx: int,
+    cfg: CompressionConfig,
+    model_cfg: ModelConfig,
+    n_chunks: int,
+) -> Tuple[CompressedLayerCache, Dict[str, Array]]:
+    """Chunked-selection compression: the single-device reference for the
+    sequence-SHARDED path (parallel/seq_parallel.py sharded_compression),
+    and a streaming-friendly policy in its own right.
+
+    Scores use the exact global min-max; selection runs per chunk of S/n
+    tokens with the global budget split evenly — identical policy (and
+    bit-identical caches, module float association) to n-way sharded
+    compression, so tests can compare the two directly.
+    """
+    b, s, _, _ = k.shape
+    if s % n_chunks:
+        raise ValueError(f"S={s} must divide n_chunks={n_chunks}")
+    s_loc = s // n_chunks
+    mass = prompt_mass.astype(jnp.float32)
+    mn = mass.min(axis=-1, keepdims=True)
+    mx = mass.max(axis=-1, keepdims=True)
+    caches, stats_parts = [], []
+    for c in range(n_chunks):
+        sl = slice(c * s_loc, (c + 1) * s_loc)
+        cache_c, st_c = compress_layer_kv(
+            k[:, sl], v[:, sl], prompt_mass[:, sl], layer_idx, cfg,
+            model_cfg, shard_offset=c * s_loc, total_len=s, minmax=(mn, mx))
+        caches.append(cache_c)
+        stats_parts.append(st_c)
+    cache = concat_layer_caches(caches)
+    n = float(n_chunks)
+    st = {}
+    for key in stats_parts[0]:
+        vals = [p[key] for p in stats_parts]
+        if key in ("seq_len", "kept_tokens", "stored_high", "stored_medium",
+                   "stored_low", "demoted_count"):
+            st[key] = sum(vals)
+        elif key == "importance_min":
+            st[key] = jnp.stack(vals).min(axis=0)
+        elif key == "importance_max":
+            st[key] = jnp.stack(vals).max(axis=0)
+        elif key == "importance_std":
+            means = [p["importance_mean"] for p in stats_parts]
+            ex = sum(means) / n
+            ex2 = sum(v_ ** 2 + m_ ** 2 for v_, m_ in zip(vals, means)) / n
+            st[key] = jnp.sqrt(jnp.maximum(ex2 - ex ** 2, 0.0))
+        elif key == "avg_selected_importance":
+            w = [p["kept_tokens"].astype(jnp.float32) for p in stats_parts]
+            st[key] = (sum(v_ * w_ for v_, w_ in zip(vals, w))
+                       / jnp.maximum(sum(w), 1.0))
+        else:  # means/ratios over equal-size chunks — exact
+            st[key] = sum(vals) / n
+    st["compression_ratio"] = st["kept_tokens"] / st["seq_len"]
+    st["token_memory_savings"] = 1.0 - st["compression_ratio"]
+    return cache, st
 
 
 # ---------------------------------------------------------------------------

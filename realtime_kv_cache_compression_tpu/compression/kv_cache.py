@@ -39,6 +39,12 @@ class TierCache:
       k_scale / k_zp / v_scale / v_zp: [B, N, H, G] float32.
       positions: [B, N] int32 original token positions (for RoPE/causality).
       valid: [B, N] bool slot-occupancy mask.
+      chunk: static packing chunk the codes were packed with (None = whole
+          axis as one chunk). Sequence-sharded compression concatenates
+          per-shard pools along the slot axis, where the layout is "chunked
+          with C = per-shard capacity" — recording C here keeps the cache
+          self-describing instead of re-deriving the chunk from the global
+          capacity (which would misread shard-local packing).
     """
 
     k_stored: Array
@@ -49,6 +55,8 @@ class TierCache:
     v_zp: Array
     positions: Array
     valid: Array
+    chunk: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def capacity(self) -> int:

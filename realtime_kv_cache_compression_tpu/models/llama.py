@@ -624,14 +624,21 @@ def generate(
     ccfg: CompressionConfig,
     max_new_tokens: int = 32,
     use_flash: bool = False,
-    use_fused_decode: bool = False,
+    use_fused_decode: Optional[bool] = None,
     eos_token_id: Optional[int] = None,
     temperature: float = 0.0,
     rng: Optional[Array] = None,
 ) -> Tuple[Array, List[Dict[str, Array]]]:
     """Generation with compressed KV (greedy, or sampled when
     temperature > 0). Returns (generated ids [B, T], per-layer prefill
-    compression stats)."""
+    compression stats).
+
+    use_fused_decode=None → auto: the fused Pallas decode kernel on TPU
+    (it beats the XLA dequant path at batch 1 and 8, 4K and 32K —
+    benchmarks/RESULTS.md round 2), the XLA path elsewhere (interpret-mode
+    Pallas would crawl on CPU)."""
+    if use_fused_decode is None:
+        use_fused_decode = jax.default_backend() == "tpu"
     if temperature > 0.0 and rng is None:
         rng = jax.random.PRNGKey(0)
     prefill = jax.jit(lambda p, ids: prefill_compressed(

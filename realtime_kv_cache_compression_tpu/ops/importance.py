@@ -93,6 +93,10 @@ def importance_scores(
     cfg: CompressionConfig,
     lengths: Array = None,
     prompt_lens: Array = None,
+    position_offset: int = 0,
+    total_len: int = None,
+    minmax: tuple = None,
+    axis_name: str = None,
 ) -> Array:
     """Three-term importance score for every token of a layer.
 
@@ -100,7 +104,8 @@ def importance_scores(
       prompt_mass: [B, S] raw prompt attention mass A_P,i.
       layer_idx: static layer index (selects w_l).
       seq_len: static sequence length T (the padding bucket for ragged
-        batches).
+        batches). When the sequence is sharded/chunked this is the LOCAL
+        length; `total_len` carries the global T.
       prompt_len: static prompt prefix length N_p (from the bucket).
       cfg: compression hyperparameters.
       lengths: optional [B] true lengths — position bias and context
@@ -108,19 +113,48 @@ def importance_scores(
         with its per-sample seq_len), not the bucket.
       prompt_lens: optional [B] true prompt lengths (defaults to
         `prompt_len`).
+      position_offset: global position of local token 0 (sequence-sharded /
+        chunked scoring; position bias then uses global positions).
+      total_len: global sequence length T for the bias/relevance
+        denominators (defaults to seq_len).
+      minmax: optional ([B,1] row_min, [B,1] row_max) override for the
+        normalization — the GLOBAL min/max when scoring a local chunk.
+      axis_name: if set (inside shard_map over the sequence), row min/max
+        are reduced with pmin/pmax over this axis, making the normalization
+        exactly global. Mutually exclusive with `minmax`/`lengths`.
 
     Returns:
-      [B, S] float32 importance scores.
+      [B, S] float32 importance scores (S = local length).
     """
     mass = prompt_mass.astype(jnp.float32)
+    total = total_len if total_len is not None else seq_len
     valid = (jnp.arange(seq_len)[None, :] < lengths[:, None]
              if lengths is not None else None)
-    normalized = minmax_normalize(mass, valid=valid)
+    if axis_name is not None:
+        row_min = jax.lax.pmin(mass.min(axis=-1, keepdims=True), axis_name)
+        row_max = jax.lax.pmax(mass.max(axis=-1, keepdims=True), axis_name)
+        minmax = (row_min, row_max)
+    if minmax is not None:
+        row_min, row_max = minmax
+        denom = row_max - row_min
+        safe = denom > 1e-8
+        normalized = jnp.where(
+            safe, (mass - row_min) / jnp.where(safe, denom, 1.0),
+            jnp.zeros_like(mass))
+    else:
+        normalized = minmax_normalize(mass, valid=valid)
     w_l = cfg.layer_weights[layer_idx]
     term1 = cfg.alpha * normalized * w_l
     if lengths is None:
-        term2 = cfg.beta * position_bias(seq_len)[None, :]
-        term3 = cfg.gamma * context_relevance(seq_len, prompt_len)
+        if total <= 1:
+            term2 = jnp.zeros((1, seq_len), jnp.float32) * cfg.beta
+        else:
+            # position_offset may be traced (axis_index under shard_map).
+            pos = (jnp.arange(1, seq_len + 1, dtype=jnp.float32)
+                   + position_offset)
+            term2 = cfg.beta * (jnp.log(pos)
+                                / jnp.log(jnp.float32(total)))[None, :]
+        term3 = cfg.gamma * context_relevance(total, prompt_len)
     else:
         lens = jnp.maximum(lengths.astype(jnp.float32), 2.0)[:, None]
         pos = jnp.arange(1, seq_len + 1, dtype=jnp.float32)[None, :]

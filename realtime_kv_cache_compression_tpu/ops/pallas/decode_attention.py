@@ -270,7 +270,8 @@ def fused_decode_attention(
         if t.capacity == 0:
             continue
         raw_entries.append(_tier_entry_arrays(
-            t, cfg.tier_bits(tier), cfg.tier_chunk(t.capacity)))
+            t, cfg.tier_bits(tier),
+            t.chunk if t.chunk is not None else cfg.tier_chunk(t.capacity)))
     if pool is not None and pool.n_blocks:
         masked = jnp.where(pool.valid, pool.positions, POS_SENTINEL)
         raw_entries.append((pool.bits, pool.block_tokens,

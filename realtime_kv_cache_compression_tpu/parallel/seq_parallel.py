@@ -52,6 +52,7 @@ def seq_parallel_prefill(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
+    sharded_compression: bool = False,
 ) -> Tuple[Array, "DecodeState", List[Dict[str, Array]]]:
     """Compressed prefill with S sharded over the mesh's `seq` axis.
 
@@ -60,7 +61,18 @@ def seq_parallel_prefill(
     tolerance in tests/test_seq_parallel.py. S must divide the axis size,
     and S/n must be divisible by the clamped flash block sizes.
 
-    Returns (last-position logits [B, V], replicated DecodeState, stats).
+    With `sharded_compression=True`, compression itself runs FULLY SHARDED
+    (no per-layer K/V all-gather): scores use the exact global min-max via
+    pmin/pmax, each shard selects locally with the global budget split
+    evenly, and the per-shard pools form one logical cache whose slot axis
+    stays sharded over `seq` (out_specs P(None, seq)) — per-device cache
+    memory is 1/n of the replicated mode, the point of sequence parallelism
+    at contexts past one chip's HBM. The policy (and cache contents) equal
+    single-device `compress_layer_kv_chunked(..., n_chunks=n)`; decode over
+    the sharded state works unchanged (GSPMD partitions the attention over
+    the slot axis and inserts the softmax collectives).
+
+    Returns (last-position logits [B, V], DecodeState, stats).
     """
     from ..models import llama
 
@@ -90,16 +102,24 @@ def seq_parallel_prefill(
                 q, k, v, prompt_len, SEQ_AXIS, n_seq,
                 block_q=block_q, block_k=block_k, interpret=interpret)
 
-            # Compression needs the global sequence: gather ONE layer's K/V
-            # (already much smaller than attention's S x S, and freed after
-            # the pools are built). Selection/quantization run replicated,
-            # so the caches are identical on every shard by construction.
-            k_full = jax.lax.all_gather(k, SEQ_AXIS, axis=1, tiled=True)
-            v_full = jax.lax.all_gather(v, SEQ_AXIS, axis=1, tiled=True)
-            pm_full = jax.lax.all_gather(pmass_loc, SEQ_AXIS, axis=1,
-                                         tiled=True)
-            cache, stats = compress_layer_kv(k_full, v_full, pm_full,
-                                             layer_idx, ccfg, cfg)
+            if sharded_compression:
+                # Fully-sharded: local K/V + local prompt mass, global
+                # min-max via collectives, budget split evenly; positions
+                # stored globally, stats psum-aggregated.
+                cache, stats = compress_layer_kv(
+                    k, v, pmass_loc, layer_idx, ccfg, cfg,
+                    axis_name=SEQ_AXIS, shard_offset=q_off, total_len=s)
+            else:
+                # Replicated: gather ONE layer's K/V (already much smaller
+                # than attention's S x S, and freed after the pools are
+                # built). Selection/quantization run replicated, so the
+                # caches are identical on every shard by construction.
+                k_full = jax.lax.all_gather(k, SEQ_AXIS, axis=1, tiled=True)
+                v_full = jax.lax.all_gather(v, SEQ_AXIS, axis=1, tiled=True)
+                pm_full = jax.lax.all_gather(pmass_loc, SEQ_AXIS, axis=1,
+                                             tiled=True)
+                cache, stats = compress_layer_kv(k_full, v_full, pm_full,
+                                                 layer_idx, ccfg, cfg)
             caches.append(cache)
             all_stats.append(stats)
             recents.append(init_recent_cache(b, max_decode_len, cfg))
@@ -121,8 +141,16 @@ def seq_parallel_prefill(
             position=jnp.full((b,), s, jnp.int32), pools=tuple(pools))
         return logits, state, all_stats
 
+    if sharded_compression:
+        # Cache slot axes concatenate across shards (axis 1 on every cache
+        # leaf) and STAY sharded over `seq`; everything else is replicated.
+        state_spec = llama.DecodeState(
+            caches=P(None, SEQ_AXIS), recents=P(), pools=P(), position=P())
+        out_specs = (P(), state_spec, P())
+    else:
+        out_specs = P()
     fn = jax.shard_map(local_fn, mesh=mesh,
                        in_specs=(P(), P(None, SEQ_AXIS)),
-                       out_specs=P(),
+                       out_specs=out_specs,
                        check_vma=False)
     return fn(params, input_ids)

@@ -76,7 +76,8 @@ class ServingEngine:
     def __init__(self, params, mcfg: ModelConfig, ccfg: CompressionConfig,
                  num_slots: int = 4, context_len: int = 2048,
                  max_new_tokens: int = 128, decode_chunk: int = 8,
-                 use_flash: bool = False, use_fused_decode: bool = False,
+                 use_flash: bool = False,
+                 use_fused_decode: Optional[bool] = None,
                  eos_token_id: Optional[int] = None,
                  async_admission: bool = True,
                  temperature: float = 0.0,
@@ -90,6 +91,10 @@ class ServingEngine:
         self.decode_chunk = decode_chunk
         self.eos_token_id = eos_token_id
         self.mesh = mesh
+        if use_fused_decode is None:
+            # Auto: fused Pallas decode on TPU (wins at batch 1 and 8, 4K
+            # and 32K — benchmarks/RESULTS.md round 2), XLA path elsewhere.
+            use_fused_decode = jax.default_backend() == "tpu"
 
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
