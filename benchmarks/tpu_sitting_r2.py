@@ -586,6 +586,78 @@ def int8_7b():
     return out
 
 
+@phase("int8_mm_micro")
+def int8_mm_micro():
+    """Raw matmul micro at 7B prefill shapes: which weight-matmul execution
+    wins on the MXU? Arms:
+      bf16        x_bf16 @ w_bf16 (jnp.dot)                  [baseline]
+      dequant     x_bf16 @ convert(w_int8) (the current default path)
+      pallas_i8   Pallas int8 x int8 kernel (ours)
+      xla_i8      dot_general int8 x int8 -> int32 (XLA's native int8 MXU)
+    Explains the int8_7b finding that act-quant prefill did NOT beat
+    weight-only (456 vs 436 ms TTFT)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_kv_cache_compression_tpu.ops.pallas.int8_matmul import (
+        int8_matmul, int8_matmul_xla)
+    from realtime_kv_cache_compression_tpu.utils.timing import (measure_rtt,
+                                                                readback,
+                                                                timed)
+
+    rtt = measure_rtt()
+    rng = np.random.default_rng(0)
+    out = partial_out()
+    n_iter = 40
+    for m, k, n in ((4096, 4096, 4096), (4096, 4096, 11008),
+                    (4096, 11008, 4096)):
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16)
+        xq = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+        wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        xs = jnp.asarray(rng.random(m) + 0.5, jnp.float32)
+        ws = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+        flops = 2.0 * m * k * n
+
+        def chain(step):
+            def many(a):
+                def body(_, acc):
+                    y = step(acc)
+                    # Cheap data dependency: fold one output column back in.
+                    return acc + y[:, :1].astype(acc.dtype) * 1e-6
+                return jax.lax.fori_loop(0, n_iter, body, a)
+            return many
+
+        arms = {
+            "bf16": (chain(lambda a: jnp.dot(
+                a, w, preferred_element_type=jnp.float32)), x),
+            "dequant": (chain(lambda a: jnp.dot(
+                a, wq.astype(a.dtype),
+                preferred_element_type=jnp.float32) * ws[None, :]), x),
+            "pallas_i8": (chain(lambda a: int8_matmul(
+                jnp.round(a * 127).astype(jnp.int8), wq, xs, ws)), x),
+            "xla_i8": (chain(lambda a: int8_matmul_xla(
+                jnp.round(a * 127).astype(jnp.int8), wq, xs, ws)), x),
+        }
+        tag = f"{m}x{k}x{n}"
+        row = {}
+        out[tag] = row
+        for name, (fn, arg) in arms.items():
+            try:
+                jf = jax.jit(fn)
+                readback(jf(arg)[:8, :8])
+                dt, _ = timed(lambda: readback(jf(arg)[:8, :8]), rtt, reps=3)
+                per = dt / n_iter
+                row[name] = {"ms": per * 1e3, "tflops": flops / per / 1e12}
+                log(f"[{tag}] {name}: {per*1e3:.3f} ms "
+                    f"({flops/per/1e12:.0f} TF/s)")
+            except Exception as e:
+                row[name] = f"FAIL {type(e).__name__}"
+                log(f"[{tag}] {name}: FAIL {type(e).__name__}: {e}")
+    return dict(out)
+
+
 @phase("seqpar")
 def seqpar():
     import jax
@@ -687,7 +759,7 @@ def flash_calibration():
 
 
 PHASES = [golden, autotune, attn_micro, decode4k, decode4k_fill, long32k,
-          int8_7b, seqpar, flash_calibration]
+          int8_7b, int8_mm_micro, seqpar, flash_calibration]
 
 
 def main():

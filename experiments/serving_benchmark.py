@@ -24,9 +24,23 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=32)
     ap.add_argument("--decode-chunk", type=int, default=8)
     ap.add_argument("--flash", action="store_true")
+    ap.add_argument("--mesh", default=None,
+                    help="DATAxMODEL mesh, e.g. 2x4 (slots shard over data,"
+                         " weights tensor-parallel; on CPU set "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count)")
     args = ap.parse_args()
 
     if args.platform:
+        import os as _os
+        if args.platform == "cpu" and args.mesh:
+            need = 1
+            for f in args.mesh.split("x"):
+                need *= int(f)
+            flags = _os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                _os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={need}"
+                ).strip()
         import jax
 
         jax.config.update("jax_platforms", args.platform)
@@ -52,11 +66,19 @@ def main():
                                  low_precision_bits=2)
     params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
 
+    mesh = None
+    if args.mesh:
+        from realtime_kv_cache_compression_tpu.parallel import create_mesh
+
+        data, model = (int(x) for x in args.mesh.split("x"))
+        mesh = create_mesh(data, model)
+        print(f"mesh: data={data} model={model} "
+              f"({jax.device_count()} devices)")
     eng = ServingEngine(params, mcfg, ccfg, num_slots=args.slots,
                         context_len=args.context,
                         max_new_tokens=args.new_tokens,
                         decode_chunk=args.decode_chunk,
-                        use_flash=args.flash)
+                        use_flash=args.flash, mesh=mesh)
     rng = np.random.default_rng(0)
     t0 = time.time()
     for i in range(args.requests):

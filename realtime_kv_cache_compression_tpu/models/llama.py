@@ -511,11 +511,14 @@ def decode_loop(
     n_steps: int,
     cfg: ModelConfig,
     ccfg: CompressionConfig,
-    use_fused: bool = False,
+    use_fused: Optional[bool] = None,
     temperature: float = 0.0,
     rng: Optional[Array] = None,
 ) -> Tuple[Array, DecodeState]:
     """n_steps of decode inside one XLA program (lax.scan over steps).
+
+    use_fused=None → auto: fused Pallas decode kernel on TPU (it wins at
+    batch 1/8, 4K/32K — benchmarks/RESULTS.md round 2), XLA path elsewhere.
 
     One dispatch for the whole generation — essential on TPU, where per-call
     host round-trips would otherwise dominate decode latency.
@@ -528,6 +531,8 @@ def decode_loop(
     n_steps must stay <= the recent-ring capacity set at prefill (appends
     past a full ring are dropped).
     """
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
     if temperature > 0.0 and rng is None:
         raise ValueError("sampling (temperature > 0) requires an rng key")
     if rng is None:
