@@ -110,6 +110,13 @@ def golden():
     out["flash_pmass_err"] = float(jnp.abs(pm_f - pm_ref).max())
     log(f"flash err out={out['flash_out_err']:.4f} "
         f"pm={out['flash_pmass_err']:.5f}")
+    o_fb, pm_fb = jax.jit(lambda q, k, v: flash_prefill_with_prompt_mass(
+        q, k, v, 102, block_q=256, block_k=256, exp_bf16=True))(q, k, v)
+    out["flash_expbf16_out_err"] = float(jnp.abs(
+        o_fb.astype(jnp.float32) - o_ref.astype(jnp.float32)).max())
+    out["flash_expbf16_pmass_err"] = float(jnp.abs(pm_fb - pm_ref).max())
+    log(f"flash exp_bf16 err out={out['flash_expbf16_out_err']:.4f} "
+        f"pm={out['flash_expbf16_pmass_err']:.5f}")
 
     # 2) ring building blocks: manual 2-block merge == full causal flash.
     h = s // 2
@@ -221,37 +228,41 @@ def autotune():
     rows = []
     # Feasible set under the GQA-folded kernel's 16MB scoped-vmem budget
     # (chipless compile probe 2026-08-17): bq<=512, bq*bk <= 512*1024.
-    # fold=False (one q head per grid step) re-fetches K/V per head but has
-    # finer-grained programs — A/B'd here.
-    for fold in (True, False):
-        for bq in (256, 512):
-            for bk in (256, 512, 1024, 2048):
-                try:
-                    def many(q, k, v, bq=bq, bk=bk, fold=fold):
-                        def body(_, qq):
-                            o, _pm = flash_prefill_with_prompt_mass(
-                                qq, k, v, 128, block_q=bq, block_k=bk,
-                                fold_gqa=fold)
-                            # Data dependency defeats CSE; epsilon keeps
-                            # values.
-                            return qq + o * jnp.asarray(1e-6, o.dtype)
-                        return jax.lax.fori_loop(0, n_iter, body, q)
+    # A/B axes: exp_bf16 (probabilities in bf16 — halves transcendental
+    # lanes if the VPU packs bf16, kills the p-cast pass) and fold_gqa
+    # (group-folded vs per-head grid; fold=False lost everywhere in the
+    # first round-2 sitting, kept as one sanity row).
+    configs = [(True, eb, bq, bk)
+               for eb in (False, True)
+               for bq in (256, 512)
+               for bk in (512, 1024, 2048)]
+    configs.append((False, False, 512, 1024))
+    for fold, eb, bq, bk in configs:
+        try:
+            def many(q, k, v, bq=bq, bk=bk, fold=fold, eb=eb):
+                def body(_, qq):
+                    o, _pm = flash_prefill_with_prompt_mass(
+                        qq, k, v, 128, block_q=bq, block_k=bk,
+                        fold_gqa=fold, exp_bf16=eb)
+                    # Data dependency defeats CSE; epsilon keeps values.
+                    return qq + o * jnp.asarray(1e-6, o.dtype)
+                return jax.lax.fori_loop(0, n_iter, body, q)
 
-                    fn = jax.jit(many)
-                    readback(fn(q, k, v)[:, :8])
-                    dt, _ = timed(lambda: readback(fn(q, k, v)[:, :8]), rtt,
-                                  reps=3)
-                    per = dt / n_iter
-                    rows.append({"bq": bq, "bk": bk, "fold": fold,
-                                 "ms": per * 1e3,
-                                 "tflops": flops / per / 1e12})
-                    log(f"fold={fold} bq={bq} bk={bk}: {per*1e3:.3f} ms "
-                        f"({flops/per/1e12:.0f} TF/s)")
-                except Exception as e:
-                    rows.append({"bq": bq, "bk": bk, "fold": fold,
-                                 "error": f"{type(e).__name__}"})
-                    log(f"fold={fold} bq={bq} bk={bk}: FAIL "
-                        f"{type(e).__name__}: {e}")
+            fn = jax.jit(many)
+            readback(fn(q, k, v)[:, :8])
+            dt, _ = timed(lambda: readback(fn(q, k, v)[:, :8]), rtt,
+                          reps=3)
+            per = dt / n_iter
+            rows.append({"bq": bq, "bk": bk, "fold": fold, "exp_bf16": eb,
+                         "ms": per * 1e3,
+                         "tflops": flops / per / 1e12})
+            log(f"fold={fold} expb={eb} bq={bq} bk={bk}: {per*1e3:.3f} ms "
+                f"({flops/per/1e12:.0f} TF/s)")
+        except Exception as e:
+            rows.append({"bq": bq, "bk": bk, "fold": fold, "exp_bf16": eb,
+                         "error": f"{type(e).__name__}"})
+            log(f"fold={fold} expb={eb} bq={bq} bk={bk}: FAIL "
+                f"{type(e).__name__}: {e}")
     ok = [r for r in rows if "ms" in r]
     best = min(ok, key=lambda r: r["ms"]) if ok else None
     roof_ms = flops / 197e12 * 1e3  # v5e bf16 peak

@@ -39,7 +39,8 @@ def _interpret_default() -> bool:
 def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
                   m_scr, l_scr, acc_scr, pmass_scr,
                   *, sm_scale: float, block_q: int, block_k: int,
-                  kv_blocks: int, n_rep: int, causal: bool = True):
+                  kv_blocks: int, n_rep: int, causal: bool = True,
+                  exp_bf16: bool = False):
     """Grid (batch, kv_head, q_block, kv_block): the whole GQA group
     (`n_rep` query heads sharing one kv head) processes per step, so each
     K/V block DMAs once for the group and the grid is H_q/n_rep times
@@ -103,9 +104,19 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s - m_next)                  # [bq, bk]
+            if exp_bf16:
+                # Probabilities in bf16: the exp2 runs on bf16 lanes (and p
+                # is already MXU-ready — no separate cast pass). s - m_next
+                # ∈ (-inf, 0], where bf16's 8-bit mantissa costs ~4e-3
+                # relative — the same order as the bf16 PV matmul below.
+                p = jnp.exp2((s - m_next).astype(jnp.bfloat16))  # [bq, bk]
+                l_curr = jnp.sum(p, axis=1, keepdims=True,
+                                 dtype=jnp.float32)
+            else:
+                p = jnp.exp2(s - m_next)              # [bq, bk]
+                l_curr = jnp.sum(p, axis=1, keepdims=True)
             m_scr[:, rc] = m_next
-            l_scr[:, rc] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            l_scr[:, rc] = alpha * l_prev + l_curr
 
             # Prompt-mass side-channel: the alpha rescale runs every block;
             # the masked column sum only where the block overlaps the
@@ -115,8 +126,10 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
 
             @pl.when(in_prompt_block)
             def _prompt_contrib(rc=rc, p=p):
-                contrib = jnp.sum(jnp.where(col_ids < plen, p, 0.0),
-                                  axis=1, keepdims=True)
+                contrib = jnp.sum(
+                    jnp.where(col_ids < plen, p,
+                              jnp.zeros((), p.dtype)),
+                    axis=1, keepdims=True, dtype=jnp.float32)
                 pmass_scr[:, rc] = pmass_scr[:, rc] + contrib
 
             acc_scr[r] = acc_scr[r] * alpha + jax.lax.dot(
@@ -167,7 +180,7 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
 def _flash_attention_bhsd(
     q: Array, k: Array, v: Array, plens: Array, *, sm_scale: float,
     block_q: int, block_k: int, interpret: bool, causal: bool = True,
-    fold_gqa: bool = True,
+    fold_gqa: bool = True, exp_bf16: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Flash attention on [B, H, S, D] tensors (S divisible by blocks).
 
@@ -195,7 +208,7 @@ def _flash_attention_bhsd(
     grid = (b, grid_h, nq, nkv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        kv_blocks=nkv, n_rep=rep, causal=causal)
+        kv_blocks=nkv, n_rep=rep, causal=causal, exp_bf16=exp_bf16)
     o, lse, pm = pl.pallas_call(
         kernel,
         grid=grid,
@@ -249,6 +262,7 @@ def flash_prefill_with_prompt_mass(
     interpret: Optional[bool] = None,
     prompt_lens: Optional[Array] = None,
     fold_gqa: bool = True,
+    exp_bf16: bool = False,
 ) -> Tuple[Array, Array]:
     """Causal flash attention + in-kernel prompt attention-mass side-channel.
 
@@ -300,7 +314,8 @@ def flash_prefill_with_prompt_mass(
                                         sm_scale=sm_scale,
                                         block_q=block_q, block_k=block_k,
                                         interpret=interpret,
-                                        fold_gqa=fold_gqa)
+                                        fold_gqa=fold_gqa,
+                                        exp_bf16=exp_bf16)
     o = o[:, :, :s]
     pm = pm[:, :, :s]
     return o.transpose(0, 2, 1, 3), pm.mean(axis=1)

@@ -83,6 +83,16 @@ def seq_parallel_prefill(
     s_loc = s // n_seq
     prompt_len = ccfg.prompt_length(s)
     dtype = jnp.dtype(cfg.dtype)
+    if sharded_compression:
+        for layer_idx in range(cfg.num_layers):
+            caps = ccfg.tier_capacities(s_loc, layer_idx)
+            if any(c == 0 for c in caps):
+                raise ValueError(
+                    f"sharded compression: layer {layer_idx} has a "
+                    f"zero-capacity tier at {s_loc} tokens/shard "
+                    f"(capacities {caps}); use a longer sequence or fewer "
+                    f"shards (zero-size cache leaves cannot hold the "
+                    f"slot-axis sharding)")
 
     def local_fn(params, ids_loc):
         my = jax.lax.axis_index(SEQ_AXIS)

@@ -34,6 +34,21 @@ def test_flash_matches_dense(rng, hq, hkv):
     np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("fold,expb", [(False, False), (True, True)])
+def test_flash_variant_flags(rng, fold, expb):
+    """fold_gqa / exp_bf16 autotune variants stay correct (looser tol for
+    the bf16-probability path)."""
+    b, s, hq, hkv, d, p = 1, 256, 4, 2, 32, 32
+    q, k, v = make_qkv(rng, b, s, hq, hkv, d)
+    o_ref, pm_ref = prefill_attention_with_prompt_mass(q, k, v, p)
+    o, pm = flash_prefill_with_prompt_mass(q, k, v, p, block_q=128,
+                                           block_k=128, interpret=True,
+                                           fold_gqa=fold, exp_bf16=expb)
+    tol = 3e-2 if expb else 2e-5
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=tol)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref), atol=tol)
+
+
 def test_flash_unpadded_vs_padded_sequence(rng):
     """S not divisible by the block size exercises the padding path."""
     b, s, hq, hkv, d, p = 1, 192, 2, 2, 32, 24
