@@ -119,7 +119,18 @@ class ServingEngine:
         self._prefill = jax.jit(lambda p, i, n: llama.prefill_compressed(
             p, i, mcfg, ccfg, max_decode_len=max_new_tokens,
             use_flash=use_flash, lengths=n, mesh=mesh))
-        self._insert = jax.jit(_tree_insert_row)  # one dispatch per insert
+        if mesh is not None:
+            # Re-commit the slot layout after each insert: the admitted
+            # row comes from a differently-sharded (often replicated,
+            # batch<data-axis) prefill state, and without the constraint
+            # GSPMD lets the scattered state's layout drift, paying
+            # involuntary rematerializations in the decode step.
+            from ..parallel.sharding import constrain_decode_state
+
+            self._insert = jax.jit(lambda b, m, r, s: constrain_decode_state(
+                _tree_insert_row(b, m, r, s), mesh))
+        else:
+            self._insert = jax.jit(_tree_insert_row)  # one dispatch/insert
         self._materialize = jax.jit(
             lambda s: jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x[:1], num_slots, axis=0), s))
