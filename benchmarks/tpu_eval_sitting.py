@@ -26,6 +26,11 @@ import sys
 import time
 import traceback
 
+# Zero-egress container: skip the HF hub's 5x retry-with-backoff per task
+# (minutes of dead time) and go straight to the local/synthetic fallback.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import experiments.run_compression_experiment as exp  # noqa: E402

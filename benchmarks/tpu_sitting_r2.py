@@ -597,6 +597,51 @@ def int8_7b():
     return out
 
 
+@phase("int8_fused")
+def int8_fused():
+    """int8 WEIGHTS x fused decode kernel — the fused kernel has only been
+    measured against bf16 weights; with int8 weights the weight-streaming
+    floor halves, so KV-read savings matter twice as much per step."""
+    import dataclasses as dc
+
+    import jax
+
+    from realtime_kv_cache_compression_tpu import (CompressionConfig,
+                                                   LLAMA2_7B, TINYLLAMA_1_1B)
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params_streaming)
+    from realtime_kv_cache_compression_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
+    out = partial_out()
+
+    mcfg = dc.replace(TINYLLAMA_1_1B, max_position_embeddings=4096 + 256)
+    ccfg = CompressionConfig(num_layers=22, high_precision_bits=8,
+                             medium_precision_bits=4, low_precision_bits=2)
+    params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
+    qp = quantize_params_streaming(params)
+    del params
+    res, _ = _decode_bench(mcfg, ccfg, 4096, 128, 1, rtt, "1b_int8w_xla",
+                           use_fused=False, params=qp)
+    out["1b_int8w_xla"] = res
+    res, _ = _decode_bench(mcfg, ccfg, 4096, 128, 1, rtt, "1b_int8w_fused",
+                           use_fused=True, params=qp)
+    out["1b_int8w_fused"] = res
+    del qp
+
+    mcfg7 = dc.replace(LLAMA2_7B, max_position_embeddings=4096 + 256)
+    ccfg7 = CompressionConfig(num_layers=32, high_precision_bits=8,
+                              medium_precision_bits=4, low_precision_bits=2)
+    params7 = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg7))
+    qp7 = quantize_params_streaming(params7)
+    del params7
+    res, _ = _decode_bench(mcfg7, ccfg7, 4096, 64, 1, rtt, "7b_int8w_fused",
+                           use_fused=True, params=qp7)
+    out["7b_int8w_fused"] = res
+    return out
+
+
 @phase("int8_mm_micro")
 def int8_mm_micro():
     """Raw matmul micro at 7B prefill shapes: which weight-matmul execution
@@ -770,7 +815,7 @@ def flash_calibration():
 
 
 PHASES = [golden, autotune, attn_micro, decode4k, decode4k_fill, long32k,
-          int8_7b, int8_mm_micro, seqpar, flash_calibration]
+          int8_7b, int8_fused, int8_mm_micro, seqpar, flash_calibration]
 
 
 def main():

@@ -182,6 +182,7 @@ def main():
             mon = MemoryMonitor()
             mon.start()
             runner_b = ModelRunner(params, mcfg, ccfg=None,
+                                   use_flash=args.flash,
                                    max_new_tokens=args.max_new_tokens)
             ev_b = LongBenchEvaluator(
                 runner_b, tokenizer,

@@ -356,6 +356,19 @@ def compress_layer_kv_chunked(
 _STACKERS: Dict = {}
 
 
+def _host_get(x):
+    """device_get that also works on cross-process (multi-host) arrays:
+    batch stats inherit the prefill's `data` sharding, so under a
+    process-spanning mesh the readback must be a collective all-gather
+    (every process calls these summarizers in the same order — the serving
+    engine's host logic is deterministic)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x, tiled=True)
+    return jax.device_get(x)
+
+
 def _stats_stacker(n_layers: int, keys: Tuple[str, ...]):
     """Jitted reducer: list-of-dicts of [B] stats → ONE [L, K, 2] array of
     (mean, sum) per stat. A single device transfer instead of hundreds of
@@ -407,7 +420,7 @@ def summarize_layer_stats(layer_stats: List[Dict[str, Array]]) -> Dict[str, floa
     if not layer_stats:
         return {}
     keys = tuple(sorted(layer_stats[0].keys()))
-    stacked = jax.device_get(
+    stacked = _host_get(
         _stats_stacker(len(layer_stats), keys)(layer_stats))  # [L, K, 2]
     ki = {k: i for i, k in enumerate(keys)}
     return _build_summary(stacked[:, :, 0], stacked[:, :, 1], ki,
@@ -439,7 +452,7 @@ def summarize_layer_stats_per_row(layer_stats: List[Dict[str, Array]],
             return jnp.stack(rows)  # [L, K, B]
 
         _STACKERS[cache_key] = jax.jit(stack)
-    arr = jax.device_get(_STACKERS[cache_key](layer_stats))
+    arr = _host_get(_STACKERS[cache_key](layer_stats))
     ki = {k: i for i, k in enumerate(keys)}
     return [_build_summary(arr[:, :, b], arr[:, :, b], ki, len(layer_stats))
             for b in range(batch)]

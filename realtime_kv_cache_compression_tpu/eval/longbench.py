@@ -75,7 +75,7 @@ class ModelRunner:
                     use_flash=self.use_flash, lengths=n))
             else:
                 fn = jax.jit(lambda p, i, n: llama.prefill_uncompressed(
-                    p, i, self.mcfg, lengths=n))
+                    p, i, self.mcfg, use_flash=self.use_flash, lengths=n))
             self._prefill_cache[bucket] = fn
         return self._prefill_cache[bucket]
 

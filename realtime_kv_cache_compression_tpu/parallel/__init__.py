@@ -1,4 +1,6 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, create_mesh, single_device_mesh
+from .multihost import (global_params, global_put, launch_local_sim,
+                        run_spmd_check)
 from .pipeline import (PIPE_AXIS, PipelineInference, create_pipe_mesh,
                        pipeline_lm_loss, pipeline_train_step,
                        stack_pipeline_params, unstack_pipeline_params)
@@ -19,4 +21,5 @@ __all__ = [
     "constrain_layer_cache", "constrain_recent_cache",
     "constrain_tier_cache", "data_sharding", "param_specs", "shard_params",
     "tier_cache_specs",
+    "global_params", "global_put", "launch_local_sim", "run_spmd_check",
 ]

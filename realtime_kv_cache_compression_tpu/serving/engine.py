@@ -96,6 +96,14 @@ class ServingEngine:
             # and 32K — benchmarks/RESULTS.md round 2), XLA path elsewhere.
             use_fused_decode = jax.default_backend() == "tpu"
 
+        # Multi-host (multi-process) SPMD: engaged when the mesh spans
+        # processes. Every process then runs this same engine with identical
+        # submissions; collectives replace local readbacks
+        # (parallel/multihost.py). A no-mesh engine inside a multi-process
+        # job stays a purely local computation.
+        self._multiproc = mesh is not None and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat)
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
             from ..parallel.sharding import shard_params
@@ -104,9 +112,21 @@ class ServingEngine:
                 raise ValueError(
                     f"num_slots={num_slots} must divide the data axis "
                     f"({mesh.shape[DATA_AXIS]})")
-            params = shard_params(params, mesh, mcfg)
+            if self._multiproc:
+                from ..parallel.multihost import global_params
+
+                params = global_params(params, mesh, mcfg)
+            else:
+                params = shard_params(params, mesh, mcfg)
         self.params = params
 
+        if self._multiproc and async_admission:
+            # Array.is_ready() is a per-process signal: two hosts could
+            # disagree on readiness and issue collectives in different
+            # orders (deadlock). Admission completes synchronously in
+            # lockstep instead; the prefill itself is still one batched
+            # program over the mesh.
+            async_admission = False
         self.async_admission = async_admission
         self._pending: deque[Request] = deque()
         # Each entry: (pairs [(req, slot), ...], logits, state, stats)
@@ -136,6 +156,15 @@ class ServingEngine:
                 lambda x: jnp.repeat(x[:1], num_slots, axis=0), s))
         self.temperature = temperature
         self._rng = jax.random.PRNGKey(seed)
+        if self._multiproc:
+            import numpy as _np
+
+            from ..parallel.multihost import global_put
+            from jax.sharding import PartitionSpec as _P
+
+            # Keys must be global arrays so decode can mix them with the
+            # mesh-sharded state in one program (same seed everywhere).
+            self._rng = global_put(_np.asarray(self._rng), mesh, _P())
         self._decode = jax.jit(lambda p, t, s, k: llama.decode_loop(
             p, t, s, decode_chunk, mcfg, ccfg,
             use_fused=use_fused_decode, temperature=temperature, rng=k))
@@ -194,21 +223,39 @@ class ServingEngine:
         while len(rows) < bsz:  # pad rows: prefilled but never inserted
             rows.append(rows[0])
             lengths.append(lengths[0])
-        ids_arr = jnp.asarray(rows, jnp.int32)
-        len_arr = jnp.asarray(lengths, jnp.int32)
         if self.mesh is not None:
-            from ..parallel.sharding import data_sharding
-            feasible = bsz % self.mesh.shape["data"] == 0
-            if feasible:
-                ids_arr = jax.device_put(ids_arr, data_sharding(self.mesh))
+            # global_put shards batch over `data` when divisible (falls back
+            # to replicated otherwise) and works whether or not the mesh
+            # spans processes.
+            import numpy as _np
+
+            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.multihost import global_put
+            from jax.sharding import PartitionSpec as _P
+
+            ids_arr = global_put(_np.asarray(rows, _np.int32), self.mesh,
+                                 _P(DATA_AXIS))
+            len_arr = global_put(_np.asarray(lengths, _np.int32), self.mesh,
+                                 _P(DATA_AXIS))
+        else:
+            ids_arr = jnp.asarray(rows, jnp.int32)
+            len_arr = jnp.asarray(lengths, jnp.int32)
         logits, state, stats = self._prefill(self.params, ids_arr, len_arr)
         for req, slot in pairs:
             self._slots[slot] = req  # reserve; not active until ready
         self._inflight.append((pairs, logits, state, stats))
 
+    def _host(self, x):
+        """Read a (possibly cross-process) array back to every host."""
+        if self._multiproc:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
     def _complete_admission(self, pairs, logits, state, stats):
         first_toks = jnp.argmax(logits, axis=-1)  # [bsz]
-        toks_host = jax.device_get(first_toks)
+        toks_host = self._host(first_toks)
         row_stats = summarize_layer_stats_per_row(stats, len(pairs))
         if self._state is None:
             self._state = self._materialize(state)
@@ -217,7 +264,16 @@ class ServingEngine:
                 self._state = jax.jit(
                     lambda s: constrain_decode_state(s, self.mesh))(
                         self._state)
-            self._last_tokens = jnp.zeros((self.num_slots,), jnp.int32)
+            if self._multiproc:
+                import numpy as _np
+
+                from ..parallel.multihost import global_put
+                from jax.sharding import PartitionSpec as _P
+
+                self._last_tokens = global_put(
+                    _np.zeros((self.num_slots,), _np.int32), self.mesh, _P())
+            else:
+                self._last_tokens = jnp.zeros((self.num_slots,), jnp.int32)
         for row, (req, slot) in enumerate(pairs):
             tok0 = int(toks_host[row])
             req.ttft = time.time() - req.submitted_at
@@ -271,7 +327,7 @@ class ServingEngine:
         self._rng, sub = jax.random.split(self._rng)
         toks, self._state = self._decode(self.params, self._last_tokens,
                                          self._state, sub)
-        toks_host = jax.device_get(toks)  # [num_slots, decode_chunk]
+        toks_host = self._host(toks)  # [num_slots, decode_chunk]
         self._last_tokens = toks[:, -1]
 
         # 3) Distribute tokens, finish slots.
