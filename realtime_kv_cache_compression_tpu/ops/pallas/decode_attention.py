@@ -64,12 +64,17 @@ Array = jax.Array
 NEG_INF = -1e30
 POS_SENTINEL = 1 << 30
 
-# Per-segment budget for one stored K (or V) block in VMEM, pre-padding.
-# Grid-step overhead is ~µs per segment × layers × decode steps, so fewer,
-# fatter segments win; 256 KB keeps the sum of all pools' double-buffered
-# K+V blocks (≤ 2x lane padding at d=64) around 6-8 MB worst case —
-# inside the 16 MB scoped-vmem limit at any context length.
-_MAX_SEG_BYTES = 256 * 1024
+# Per-segment budget for one stored K (or V) block in VMEM, pre-padding —
+# for the WHOLE block (1, hkv, seg_rows, d), head axis included. Grid-step
+# overhead is ~µs per segment × layers × decode steps, so fewer, fatter
+# segments win; 1 MB/block keeps the sum of all pools' double-buffered K+V
+# blocks inside the 16 MB scoped-vmem limit at any context length. At
+# hkv·d = 256 (TinyLlama u8 pools) this preserves the tuned default
+# (seg 2048/3072) and degrades a seg-4096 request to 3840 rows — the exact
+# configuration that measured 16.22 MB scoped (OOM by 0.22 MB) at 32K; at
+# Llama-2-7B (hkv=32, d=128) it caps rows 16× harder — the earlier
+# per-head 256 KB budget under-counted by hkv and blew scoped VMEM (36 MB).
+_MAX_BLOCK_BYTES = 960 * 1024
 
 
 def _interpret_default() -> bool:
@@ -307,7 +312,8 @@ def fused_decode_attention(
         # segments (padded positions carry the sentinel, so they mask off;
         # the pads are loop-invariant and hoist out of the decode scan).
         itemsize = jnp.dtype(k_s.dtype).itemsize
-        max_rows = max(rows_per_chunk, _MAX_SEG_BYTES // (d * itemsize))
+        max_rows = max(rows_per_chunk,
+                       _MAX_BLOCK_BYTES // (hkv * d * itemsize))
         target_w = max(1, min(cfg.decode_segment_tokens // chunk,
                               max_rows // rows_per_chunk))
         w = min(target_w, n_chunks)
