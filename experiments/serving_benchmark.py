@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=32)
     ap.add_argument("--decode-chunk", type=int, default=8)
     ap.add_argument("--flash", action="store_true")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the warm-up request (timed run then includes "
+                         "prefill/decode compilation — tens of seconds on "
+                         "TPU via the remote-compile relay)")
     ap.add_argument("--mesh", default=None,
                     help="DATAxMODEL mesh, e.g. 2x4 (slots shard over data,"
                          " weights tensor-parallel; on CPU set "
@@ -80,6 +84,25 @@ def main():
                         decode_chunk=args.decode_chunk,
                         use_flash=args.flash, mesh=mesh)
     rng = np.random.default_rng(0)
+    if not args.no_warmup:
+        # Compile outside the timed region: the decode chunk, slot insert,
+        # and one batched prefill per power-of-two admission size (admission
+        # pads to powers of two, so these are ALL the programs steady-state
+        # serving ever runs). One-time compilation is not the metric.
+        t0 = time.time()
+        b = 1
+        while True:
+            for _ in range(min(b, args.slots)):
+                eng.submit(rng.integers(1, mcfg.vocab_size,
+                                        size=args.context).tolist(),
+                           max_new_tokens=min(args.new_tokens,
+                                              args.decode_chunk))
+            eng.run()
+            if b >= args.slots:
+                break
+            b *= 2
+        eng.completed.clear()
+        print(f"warmup (compilation): {time.time() - t0:.1f}s")
     t0 = time.time()
     for i in range(args.requests):
         n = int(rng.integers(args.context // 2, args.context))

@@ -361,8 +361,10 @@ def _host_get(x):
     batch stats inherit the prefill's `data` sharding, so under a
     process-spanning mesh the readback must be a collective all-gather
     (every process calls these summarizers in the same order — the serving
-    engine's host logic is deterministic)."""
-    if jax.process_count() > 1:
+    engine's host logic is deterministic). Gated on addressability, not
+    process count: a purely-local computation inside a multi-process job
+    must NOT issue a collective (the peers would never join it)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
         from jax.experimental import multihost_utils
 
         return multihost_utils.process_allgather(x, tiled=True)

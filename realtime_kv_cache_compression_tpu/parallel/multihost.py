@@ -207,11 +207,16 @@ def _worker_main(argv=None) -> int:
     ap.add_argument("--model", type=int, default=4)
     ap.add_argument("--arm", default="spmd", choices=["spmd", "serving",
                                                       "both"])
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (the local simulator passes "
+                         "'cpu'); omit on a real pod to use the default "
+                         "TPU backend")
     args = ap.parse_args(argv)
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     initialize(args.coordinator, args.num_processes, args.process_id)
     ok = True
     if args.arm in ("spmd", "both"):
@@ -233,13 +238,30 @@ def launch_local_sim(num_processes: int = 2, local_devices: int = 4,
     This is the zero-egress stand-in for an N-host pod launch: same worker
     code, same collectives, Gloo instead of DCN.
     """
+    last_err: Optional[Exception] = None
+    for _attempt in range(2):  # ephemeral-port TOCTOU race → one retry
+        try:
+            return _launch_once(num_processes, local_devices, data, model,
+                                arm, timeout)
+        except RuntimeError as e:
+            last_err = e
+    raise last_err  # type: ignore[misc]
+
+
+def _launch_once(num_processes: int, local_devices: int, data: int,
+                 model: Optional[int], arm: str, timeout: float) -> str:
     import socket
+    import tempfile
+    import time
 
     if model is None:
         model = num_processes * local_devices // data
     with socket.socket() as s:  # free port for the coordinator
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    # NB: the port is released before worker 0 binds it — a concurrent
+    # launcher could steal it in the gap, which surfaces as a worker
+    # failure; launch_local_sim retries once with a fresh port.
 
     repo_root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
@@ -250,26 +272,34 @@ def launch_local_sim(num_processes: int = 2, local_devices: int = 4,
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
                         f"{local_devices}")
 
-    procs = []
-    for i in range(num_processes):
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m",
-             "realtime_kv_cache_compression_tpu.parallel.multihost",
-             "--coordinator", f"127.0.0.1:{port}",
-             "--num-processes", str(num_processes),
-             "--process-id", str(i),
-             "--data", str(data), "--model", str(model), "--arm", arm],
-            cwd=repo_root, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
+    procs, files = [], []
+    deadline = timeout + time.monotonic()
     try:
+        for i in range(num_processes):
+            # Temp files, not PIPEs: a worker that fills a 64 KB pipe mid-
+            # collective would stall the whole pod while we drain peers.
+            f = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+            files.append(f)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m",
+                 "realtime_kv_cache_compression_tpu.parallel.multihost",
+                 "--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", str(num_processes),
+                 "--process-id", str(i),
+                 "--data", str(data), "--model", str(model), "--arm", arm,
+                 "--platform", "cpu"],
+                cwd=repo_root, env=env, stdout=f, stderr=f, text=True))
         for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out)
+            p.wait(timeout=max(1.0, deadline - time.monotonic()))
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    outs = []
+    for f in files:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     for i, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             raise RuntimeError(

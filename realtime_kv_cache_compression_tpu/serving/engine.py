@@ -24,8 +24,8 @@ Design:
     P(data, None, model, None) via prefill's sharding constraints
     (parallel/sharding.py). The decode program is one jit over the full
     mesh; admission inserts a replicated single-row state into the slot's
-    data shard (GSPMD places the copy). num_slots must divide the data
-    axis.
+    data shard (GSPMD places the copy). num_slots must be a multiple of
+    the data-axis size.
 """
 
 from __future__ import annotations
@@ -110,8 +110,8 @@ class ServingEngine:
 
             if num_slots % mesh.shape[DATA_AXIS]:
                 raise ValueError(
-                    f"num_slots={num_slots} must divide the data axis "
-                    f"({mesh.shape[DATA_AXIS]})")
+                    f"num_slots={num_slots} must be a multiple of the "
+                    f"data-axis size ({mesh.shape[DATA_AXIS]})")
             if self._multiproc:
                 from ..parallel.multihost import global_params
 
@@ -155,16 +155,10 @@ class ServingEngine:
             lambda s: jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x[:1], num_slots, axis=0), s))
         self.temperature = temperature
-        self._rng = jax.random.PRNGKey(seed)
-        if self._multiproc:
-            import numpy as _np
-
-            from ..parallel.multihost import global_put
-            from jax.sharding import PartitionSpec as _P
-
-            # Keys must be global arrays so decode can mix them with the
-            # mesh-sharded state in one program (same seed everywhere).
-            self._rng = global_put(_np.asarray(self._rng), mesh, _P())
+        # Keys/tokens must be global arrays under a process-spanning mesh so
+        # decode can mix them with the mesh-sharded state in one program
+        # (same seed everywhere); _put is the one placement helper.
+        self._rng = self._put(jax.random.PRNGKey(seed))
         self._decode = jax.jit(lambda p, t, s, k: llama.decode_loop(
             p, t, s, decode_chunk, mcfg, ccfg,
             use_fused=use_fused_decode, temperature=temperature, rng=k))
@@ -223,31 +217,34 @@ class ServingEngine:
         while len(rows) < bsz:  # pad rows: prefilled but never inserted
             rows.append(rows[0])
             lengths.append(lengths[0])
-        if self.mesh is not None:
-            # global_put shards batch over `data` when divisible (falls back
-            # to replicated otherwise) and works whether or not the mesh
-            # spans processes.
-            import numpy as _np
+        # Batch shards over `data` when divisible (global_put falls back to
+        # replicated otherwise), whether or not the mesh spans processes.
+        import numpy as np
 
-            from ..parallel.mesh import DATA_AXIS
-            from ..parallel.multihost import global_put
-            from jax.sharding import PartitionSpec as _P
+        from ..parallel.mesh import DATA_AXIS
 
-            ids_arr = global_put(_np.asarray(rows, _np.int32), self.mesh,
-                                 _P(DATA_AXIS))
-            len_arr = global_put(_np.asarray(lengths, _np.int32), self.mesh,
-                                 _P(DATA_AXIS))
-        else:
-            ids_arr = jnp.asarray(rows, jnp.int32)
-            len_arr = jnp.asarray(lengths, jnp.int32)
+        ids_arr = self._put(np.asarray(rows, np.int32), DATA_AXIS)
+        len_arr = self._put(np.asarray(lengths, np.int32), DATA_AXIS)
         logits, state, stats = self._prefill(self.params, ids_arr, len_arr)
         for req, slot in pairs:
             self._slots[slot] = req  # reserve; not active until ready
         self._inflight.append((pairs, logits, state, stats))
 
+    def _put(self, x, *spec):
+        """Place a host value: global array on the mesh (works whether or
+        not the mesh spans processes), plain device array otherwise."""
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.multihost import global_put
+
+            return global_put(x, self.mesh, P(*spec))
+        return jnp.asarray(x)
+
     def _host(self, x):
-        """Read a (possibly cross-process) array back to every host."""
-        if self._multiproc:
+        """Read a (possibly cross-process) array back to every host. Gated
+        on addressability: local arrays must not issue collectives."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
             from jax.experimental import multihost_utils
 
             return multihost_utils.process_allgather(x, tiled=True)
@@ -264,16 +261,10 @@ class ServingEngine:
                 self._state = jax.jit(
                     lambda s: constrain_decode_state(s, self.mesh))(
                         self._state)
-            if self._multiproc:
-                import numpy as _np
+            import numpy as np
 
-                from ..parallel.multihost import global_put
-                from jax.sharding import PartitionSpec as _P
-
-                self._last_tokens = global_put(
-                    _np.zeros((self.num_slots,), _np.int32), self.mesh, _P())
-            else:
-                self._last_tokens = jnp.zeros((self.num_slots,), jnp.int32)
+            self._last_tokens = self._put(
+                np.zeros((self.num_slots,), np.int32))
         for row, (req, slot) in enumerate(pairs):
             tok0 = int(toks_host[row])
             req.ttft = time.time() - req.submitted_at
