@@ -99,8 +99,12 @@ def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
 
 
 def recall_accuracy(params, mcfg, ccfg, task, n_eval, payload_len, filler_len,
-                    seed=123):
-    """Exact-token recall rate through prefill+decode (compressed if ccfg)."""
+                    seed=123, use_flash=False, eval_batch=None):
+    """Exact-token recall rate through prefill+decode (compressed if ccfg).
+
+    `eval_batch` chunks the eval samples (long contexts: the baseline's
+    dense attention scores scale with batch x S^2); `use_flash` routes both
+    arms through the flash prefill kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -110,23 +114,32 @@ def recall_accuracy(params, mcfg, ccfg, task, n_eval, payload_len, filler_len,
     ids, prompt_len, payload = make_batch(key, n_eval, payload_len,
                                           filler_len, mcfg.vocab_size, task)
     prompt = ids[:, :prompt_len]
-    if ccfg is not None:
-        out, stats = llama.generate(params, prompt, mcfg, ccfg,
-                                    max_new_tokens=payload_len)
-        from realtime_kv_cache_compression_tpu.compression import (
-            summarize_layer_stats)
-        summary = summarize_layer_stats(stats)
-    else:
-        logits, kv = llama.prefill_uncompressed(params, prompt, mcfg)
-        pad_len = prompt.shape[1] + payload_len
-        kv = tuple(jnp.pad(a, ((0, 0), (0, 0), (0, pad_len - a.shape[2]),
-                               (0, 0), (0, 0))) for a in kv)
-        tok = jnp.argmax(logits, axis=-1)
-        pos = jnp.full((n_eval,), prompt.shape[1], jnp.int32)
-        rest, _, _ = llama.decode_loop_uncompressed(params, tok, kv, pos,
-                                                    payload_len - 1, mcfg)
-        out = jnp.concatenate([tok[:, None], rest], axis=1)
-        summary = None
+    eval_batch = eval_batch or n_eval
+    outs, summary = [], None
+    for i in range(0, n_eval, eval_batch):
+        chunk = prompt[i:i + eval_batch]
+        if ccfg is not None:
+            out, stats = llama.generate(params, chunk, mcfg, ccfg,
+                                        max_new_tokens=payload_len,
+                                        use_flash=use_flash)
+            if summary is None:
+                from realtime_kv_cache_compression_tpu.compression import (
+                    summarize_layer_stats)
+                summary = summarize_layer_stats(stats)
+        else:
+            logits, kv = llama.prefill_uncompressed(params, chunk, mcfg,
+                                                    use_flash=use_flash)
+            pad_len = chunk.shape[1] + payload_len
+            kv = tuple(jnp.pad(a, ((0, 0), (0, 0),
+                                   (0, pad_len - a.shape[2]),
+                                   (0, 0), (0, 0))) for a in kv)
+            tok = jnp.argmax(logits, axis=-1)
+            pos = jnp.full((chunk.shape[0],), chunk.shape[1], jnp.int32)
+            rest, _, _ = llama.decode_loop_uncompressed(
+                params, tok, kv, pos, payload_len - 1, mcfg)
+            out = jnp.concatenate([tok[:, None], rest], axis=1)
+        outs.append(out)
+    out = jnp.concatenate(outs, axis=0)
     acc = float((out == payload).mean())
     em = float((out == payload).all(axis=1).mean())
     return {"token_accuracy": acc, "exact_match": em,
@@ -142,6 +155,16 @@ def main():
     ap.add_argument("--payload", type=int, default=8)
     ap.add_argument("--fillers", default="48,112,240",
                     help="comma list of filler lengths (context sweep)")
+    ap.add_argument("--eval-fillers", default=None,
+                    help="eval-only filler list (default: same as --fillers;"
+                         " pass longer values to probe length extrapolation"
+                         " beyond the trained sweep)")
+    ap.add_argument("--flash", action="store_true",
+                    help="flash prefill for BOTH eval arms (training stays"
+                         " dense: the flash kernel has no VJP)")
+    ap.add_argument("--eval-batch", type=int, default=None,
+                    help="chunk eval samples (long contexts: baseline dense"
+                         " scores scale with batch x S^2)")
     ap.add_argument("--eval-samples", type=int, default=64)
     ap.add_argument("--arms", default=None,
                     help="comma list to restrict the config arms")
@@ -161,9 +184,12 @@ def main():
     import realtime_kv_cache_compression_tpu as rtc
 
     fillers = [int(f) for f in args.fillers.split(",")]
+    eval_fillers = ([int(f) for f in args.eval_fillers.split(",")]
+                    if args.eval_fillers else fillers)
     tasks = args.tasks.split(",")
     max_pos = args.max_positions or (
-        max(fillers) + (args.payload + 1) * (N_DOCS + 2) + 16)
+        max(fillers + eval_fillers)
+        + (args.payload + 1) * (N_DOCS + 2) + 16)
     mcfg = rtc.tiny_test_model(vocab_size=64, hidden_size=128,
                                intermediate_size=256, num_layers=4,
                                num_heads=4, num_kv_heads=2, head_dim=32,
@@ -228,11 +254,13 @@ def main():
             task_arms["balanced_int8_weights"] = cc()
             arm_params["balanced_int8_weights"] = quantize_params(params)
 
-        for filler in fillers:
+        for filler in eval_fillers:
             ctx = {}
             for name, ccfg in task_arms.items():
                 r = recall_accuracy(arm_params[name], mcfg, ccfg, task,
-                                    args.eval_samples, args.payload, filler)
+                                    args.eval_samples, args.payload, filler,
+                                    use_flash=args.flash,
+                                    eval_batch=args.eval_batch)
                 comp = r.pop("compression", None)
                 line = (f"[{task} f={filler}] {name}: "
                         f"acc={r['token_accuracy']:.3f} "
