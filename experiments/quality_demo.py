@@ -79,19 +79,28 @@ def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
 
     from realtime_kv_cache_compression_tpu.models import llama, train
 
+    import jax.numpy as jnp
+
     params = llama.init_params(jax.random.PRNGKey(0), mcfg)
     optimizer = train.make_optimizer(lr=lr)
     opt_state = optimizer.init(params)
-    step_fn = jax.jit(lambda p, o, ids: train.train_step(p, o, ids, mcfg,
-                                                         optimizer))
+    step_fn = jax.jit(lambda p, o, ids, m: train.train_step(
+        p, o, ids, mcfg, optimizer, loss_mask=m))
     key = jax.random.PRNGKey(42)
     loss = None
     for i in range(steps):
         key, sub = jax.random.split(key)
         filler = filler_lens[i % len(filler_lens)]
-        ids, _, _ = make_batch(sub, batch, payload_len, filler,
-                               mcfg.vocab_size, task)
-        params, opt_state, loss = step_fn(params, opt_state, ids)
+        ids, prompt_len, _ = make_batch(sub, batch, payload_len, filler,
+                                        mcfg.vocab_size, task)
+        # Supervise only the recalled span (SFT-style): at long fillers an
+        # unmasked mean loss is ~100% unpredictable filler and the payload
+        # gradient vanishes with 1/S.
+        tpos = jnp.arange(ids.shape[1] - 1)
+        mask = jnp.broadcast_to(
+            (tpos >= prompt_len - 1) & (tpos < prompt_len - 1 + payload_len),
+            (ids.shape[0], ids.shape[1] - 1))
+        params, opt_state, loss = step_fn(params, opt_state, ids, mask)
         if i % log_every == 0:
             print(f"  [{task}] step {i}: loss {float(loss):.4f}", flush=True)
     print(f"  [{task}] final loss {float(loss):.4f}", flush=True)

@@ -8,7 +8,7 @@ exercised under grad — fine-tuning support and the multi-chip dryrun's
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,13 +21,24 @@ Params = Dict[str, Any]
 
 
 def lm_loss(params: Params, input_ids: jax.Array, cfg: ModelConfig,
-            use_flash: bool = False) -> jax.Array:
-    """Mean next-token cross-entropy over the sequence."""
+            use_flash: bool = False,
+            loss_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Next-token cross-entropy.
+
+    loss_mask: optional [B, S-1] per-TARGET-position weights (aligned to
+    input_ids[:, 1:]). SFT-style masking — at long contexts an unmasked
+    mean is dominated by unpredictable filler and the supervised span's
+    gradient share collapses with 1/S. None → plain mean over all
+    positions.
+    """
     logits = forward_logits(params, input_ids, cfg,
                             use_flash=use_flash).astype(jnp.float32)
     targets = input_ids[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if loss_mask is not None:
+        w = loss_mask.astype(nll.dtype)
+        return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
     return nll.mean()
 
 
@@ -36,11 +47,12 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
 
 
 def train_step(params: Params, opt_state, input_ids: jax.Array,
-               cfg: ModelConfig, optimizer,
-               use_flash: bool = False) -> Tuple[Params, Any, jax.Array]:
+               cfg: ModelConfig, optimizer, use_flash: bool = False,
+               loss_mask: Optional[jax.Array] = None
+               ) -> Tuple[Params, Any, jax.Array]:
     """One SPMD training step; grads/updates follow the params sharding."""
     loss, grads = jax.value_and_grad(lm_loss)(params, input_ids, cfg,
-                                              use_flash)
+                                              use_flash, loss_mask)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
