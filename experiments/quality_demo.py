@@ -221,6 +221,11 @@ def main():
             num_layers=mcfg.num_layers),
         "aggressive": cc(early_layer_ratio=0.6, middle_layer_ratio=0.4,
                          later_layer_ratio=0.3),
+        # Attention-sink anchors (config.sink_tokens): same aggressive
+        # budget, first 16 positions pinned to the HIGH tier.
+        "aggressive_sink16": cc(early_layer_ratio=0.6,
+                                middle_layer_ratio=0.4,
+                                later_layer_ratio=0.3, sink_tokens=16),
         "very_aggressive_2bit": cc(early_layer_ratio=0.4,
                                    middle_layer_ratio=0.3,
                                    later_layer_ratio=0.25,

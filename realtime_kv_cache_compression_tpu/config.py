@@ -108,6 +108,16 @@ class CompressionConfig:
     # max(1, S * fallback_frac) tokens (selective_propagation.py:205-211).
     fallback_frac: float = 0.1
 
+    # Attention-sink anchors (beyond the reference; AnTKV/StreamingLLM-style):
+    # the first `sink_tokens` GLOBAL positions are boosted to the top of the
+    # importance ranking, so they are always selected and land in the HIGH
+    # tier (threshold mode: boosted above theta_h; quantile mode: top rank).
+    # The first few positions accumulate disproportionate attention mass in
+    # trained transformers; dropping or crushing them to 2 bits is a known
+    # quality cliff at aggressive retention. Keep small (<= 16). 0 disables
+    # (reference behavior).
+    sink_tokens: int = 0
+
     # Quantization scale granularity: channels per scale group within a
     # (token, kv_head) vector. 0 → one group per head_dim (per-token-per-head
     # scale). The reference used a single scale across the whole fused
@@ -150,7 +160,7 @@ class CompressionConfig:
     # and its per-step overhead (~µs each, × layers × steps) — stays low
     # while capacity rounding stays chunk-fine. Must be a multiple of
     # pack_chunk_tokens. The kernel additionally caps each segment's stored
-    # bytes (decode_attention._MAX_SEG_BYTES) so VMEM blocks stay bounded.
+    # bytes (decode_attention._MAX_BLOCK_BYTES) so VMEM blocks stay bounded.
     decode_segment_tokens: int = 2048
 
     def __post_init__(self):
@@ -163,6 +173,8 @@ class CompressionConfig:
             raise ValueError("bit tiers must satisfy high >= mid >= low")
         if not (0.0 <= self.theta_m <= self.theta_h):
             raise ValueError("thresholds must satisfy 0 <= theta_m <= theta_h")
+        if self.sink_tokens < 0:
+            raise ValueError("sink_tokens must be >= 0")
         if self.tier_mode not in ("threshold", "quantile"):
             raise ValueError(f"unknown tier_mode {self.tier_mode!r}")
         if self.selection_mode not in ("topk_prefix", "exact_greedy"):

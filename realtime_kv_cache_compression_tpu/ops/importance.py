@@ -162,7 +162,16 @@ def importance_scores(
         p_lens = (prompt_lens.astype(jnp.float32)[:, None]
                   if prompt_lens is not None else float(prompt_len))
         term3 = cfg.gamma * jnp.minimum(1.0, p_lens / lens)
-    return term1 + term2 + term3
+    scores = term1 + term2 + term3
+    if cfg.sink_tokens:
+        # Attention-sink anchors (config.sink_tokens): boost the first k
+        # GLOBAL positions above every natural score (terms sum to <= ~1+
+        # theta_h guard) so they always select into the HIGH tier, in both
+        # tier modes and under sequence sharding (position_offset-aware).
+        gpos = jnp.arange(seq_len) + position_offset
+        scores = jnp.where((gpos < cfg.sink_tokens)[None, :],
+                           scores + 2.0 + cfg.theta_h, scores)
+    return scores
 
 
 def cumulative_scores(per_layer_scores: Array) -> Array:

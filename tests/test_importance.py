@@ -117,3 +117,51 @@ def test_jit_compiles(rng, cfg):
     fn = jax.jit(lambda m: imp.importance_scores(m, 1, 64, 12, cfg))
     out = fn(mass)
     assert out.shape == (2, 64)
+
+
+def test_sink_tokens_always_selected_high_tier():
+    """config.sink_tokens: anchors outrank everything, select into HIGH, in
+    both tier modes and under a position offset (sequence sharding)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_kv_cache_compression_tpu import CompressionConfig
+    from realtime_kv_cache_compression_tpu.config import HIGH
+    from realtime_kv_cache_compression_tpu.ops import selection as sel_mod
+    from realtime_kv_cache_compression_tpu.ops.importance import (
+        importance_scores)
+    from realtime_kv_cache_compression_tpu.ops.quantization import (
+        assign_precision)
+
+    rng = np.random.default_rng(0)
+    mass = jnp.asarray(rng.random((2, 64)).astype(np.float32))
+    for mode in ("quantile", "threshold"):
+        cfg = CompressionConfig(
+            num_layers=4, high_precision_bits=8, medium_precision_bits=4,
+            low_precision_bits=2, sink_tokens=4, tier_mode=mode,
+            early_layer_ratio=0.3, middle_layer_ratio=0.3,
+            later_layer_ratio=0.3, slot_align=1)
+        scores = importance_scores(mass, 3, 64, 12, cfg)  # most aggressive layer
+        assert bool((jnp.argsort(-scores[0])[:4] < 4).all())
+        labels, _ = assign_precision(scores, cfg)
+        sel = sel_mod.select_tokens(scores, labels, 3, cfg)
+        kept = np.asarray(sel.kept_mask)
+        assert kept[:, :4].all(), f"sink tokens dropped in {mode} mode"
+        hi_idx = np.asarray(sel.indices[0])   # HIGH tier slots
+        hi_valid = np.asarray(sel.valid[0])
+        for b in range(2):
+            in_high = set(hi_idx[b][hi_valid[b]].tolist())
+            assert {0, 1, 2, 3} <= in_high, (mode, in_high)
+
+    # Position offset (sequence shard starting at 32): no local boost.
+    cfg = CompressionConfig(num_layers=4, high_precision_bits=8,
+                            medium_precision_bits=4, low_precision_bits=2,
+                            sink_tokens=4)
+    s_off = importance_scores(mass, 0, 64, 12, cfg, position_offset=32,
+                              total_len=96)
+    import dataclasses
+
+    s_no = importance_scores(mass, 0, 64, 12,
+                             dataclasses.replace(cfg, sink_tokens=0),
+                             position_offset=32, total_len=96)
+    assert bool(jnp.allclose(s_off, s_no))
