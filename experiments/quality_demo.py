@@ -72,7 +72,7 @@ def make_batch(rng_key, batch, payload_len, filler_len, vocab, task):
 
 
 def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
-                       lr=3e-3, log_every=200):
+                       lr=3e-3, log_every=200, use_flash=False):
     """Train on the task with filler length cycling over the sweep values
     (so long-context eval is in-distribution)."""
     import jax
@@ -85,7 +85,7 @@ def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
     optimizer = train.make_optimizer(lr=lr)
     opt_state = optimizer.init(params)
     step_fn = jax.jit(lambda p, o, ids, m: train.train_step(
-        p, o, ids, mcfg, optimizer, loss_mask=m))
+        p, o, ids, mcfg, optimizer, use_flash=use_flash, loss_mask=m))
     key = jax.random.PRNGKey(42)
     loss = None
     for i in range(steps):
@@ -169,8 +169,15 @@ def main():
                          " pass longer values to probe length extrapolation"
                          " beyond the trained sweep)")
     ap.add_argument("--flash", action="store_true",
-                    help="flash prefill for BOTH eval arms (training stays"
-                         " dense: the flash kernel has no VJP)")
+                    help="flash attention everywhere: our prompt-mass flash"
+                         " kernel in eval, the library flash kernel (which"
+                         " carries a VJP) in training — long contexts never"
+                         " materialize S^2")
+    ap.add_argument("--lr", type=float, default=3e-3,
+                    help="training lr (multidoc learns best ~1e-3)")
+    ap.add_argument("--model-layers", type=int, default=4,
+                    help="depth of the trained mini-Llama (multidoc's 2-hop"
+                         " retrieval needs >= 6)")
     ap.add_argument("--eval-batch", type=int, default=None,
                     help="chunk eval samples (long contexts: baseline dense"
                          " scores scale with batch x S^2)")
@@ -200,7 +207,8 @@ def main():
         max(fillers + eval_fillers)
         + (args.payload + 1) * (N_DOCS + 2) + 16)
     mcfg = rtc.tiny_test_model(vocab_size=64, hidden_size=128,
-                               intermediate_size=256, num_layers=4,
+                               intermediate_size=256,
+                               num_layers=args.model_layers,
                                num_heads=4, num_kv_heads=2, head_dim=32,
                                max_position_embeddings=max_pos)
 
@@ -226,6 +234,11 @@ def main():
         "aggressive_sink16": cc(early_layer_ratio=0.6,
                                 middle_layer_ratio=0.4,
                                 later_layer_ratio=0.3, sink_tokens=16),
+        # Anchors covering the entire doc region of the multidoc task
+        # (N_DOCS * (payload+1) = 36 tokens + margin).
+        "aggressive_sink40": cc(early_layer_ratio=0.6,
+                                middle_layer_ratio=0.4,
+                                later_layer_ratio=0.3, sink_tokens=40),
         "very_aggressive_2bit": cc(early_layer_ratio=0.4,
                                    middle_layer_ratio=0.3,
                                    later_layer_ratio=0.25,
@@ -233,6 +246,10 @@ def main():
                                    medium_precision_bits=2,
                                    low_precision_bits=2),
         "position_only_scores": cc(alpha=0.0, beta=0.85, gamma=0.15),
+        # Attention-mass-dominant scoring: at long contexts the default
+        # beta position bias drowns early-positioned answers; alpha is the
+        # term that actually finds them.
+        "attention_heavy": cc(alpha=0.8, beta=0.1, gamma=0.1),
     }
     if args.arms:
         keep = set(args.arms.split(","))
@@ -256,7 +273,8 @@ def main():
             print(f"training {task} model (fillers {fillers})...", flush=True)
             t0 = time.time()
             params = train_recall_model(mcfg, task, args.steps, args.batch,
-                                        args.payload, fillers)
+                                        args.payload, fillers, lr=args.lr,
+                                        use_flash=args.flash)
             print(f"trained in {time.time() - t0:.0f}s", flush=True)
             if ckpt:
                 from realtime_kv_cache_compression_tpu.models import checkpoint
