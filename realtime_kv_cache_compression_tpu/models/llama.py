@@ -335,7 +335,9 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
         q, k, v = _qkv(layer, x, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if use_flash:
+        # The library flash kernel requires q_seq_len >= its 128-wide q
+        # block; short sequences take the dense path (faster there anyway).
+        if use_flash and s >= 128:
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
             from ..ops.attention import repeat_kv
