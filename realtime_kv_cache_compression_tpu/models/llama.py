@@ -326,6 +326,14 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
     (jax.experimental.pallas.ops.tpu.flash_attention), which carries a
     custom VJP — so training scales past dense-attention context lengths.
     """
+    b, s_in = input_ids.shape
+    # The library flash kernel needs seq_len to be a multiple of its 128-wide
+    # blocks; right-padding is exact under causality (pad keys sit at later
+    # positions than every real query) and the pad logits are sliced off.
+    # Sequences shorter than one block take the dense path (faster there).
+    pad = ((-s_in) % 128) if (use_flash and s_in >= 128) else 0
+    if pad:
+        input_ids = jnp.pad(input_ids, ((0, 0), (0, pad)))
     b, s = input_ids.shape
     h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype))
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
@@ -335,8 +343,6 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
         q, k, v = _qkv(layer, x, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        # The library flash kernel requires q_seq_len >= its 128-wide q
-        # block; short sequences take the dense path (faster there anyway).
         if use_flash and s >= 128:
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
@@ -354,6 +360,8 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
             attn_out, _ = prefill_attention_with_prompt_mass(q, k, v, 1)
         h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+    if pad:
+        h = h[:, :s_in]
     return logits_from_hidden(params, h, cfg)
 
 
