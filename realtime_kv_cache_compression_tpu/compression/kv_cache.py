@@ -111,7 +111,8 @@ def init_recent_cache(batch: int, max_decode_len: int, model_cfg: ModelConfig,
 
 
 def append_recent(cache: RecentCache, k_new: Array, v_new: Array,
-                  pos_new: Array) -> RecentCache:
+                  pos_new: Array, gate: Optional[Array] = None
+                  ) -> RecentCache:
     """Append one decode step's K/V ([B, 1, H, D]) into the ring.
 
     A full ring (length == capacity) DROPS the append and keeps length
@@ -119,18 +120,25 @@ def append_recent(cache: RecentCache, k_new: Array, v_new: Array,
     out-of-range scatter indices) while the validity mask claims it's the
     new token. Model decode never hits this: `decode_step` flushes the ring
     into the quantized decode pool before it fills (see flush_recent).
+
+    `gate` ([B] bool) additionally drops the append for False rows — used
+    by speculative decoding to commit only the accepted prefix of a draft
+    block (models/speculative.py).
     """
     b = jnp.arange(cache.k.shape[0])
     cap = cache.capacity
-    full = cache.length >= cap  # [B]
+    drop = cache.length >= cap  # [B]
+    if gate is not None:
+        drop = drop | ~gate
     idx = jnp.minimum(cache.length, cap - 1)
-    sel = lambda new, old: jnp.where(full[:, None, None], old, new)
+    sel = lambda new, old: jnp.where(drop[:, None, None], old, new)
     return RecentCache(
         k=cache.k.at[b, idx].set(sel(k_new[:, 0], cache.k[b, idx])),
         v=cache.v.at[b, idx].set(sel(v_new[:, 0], cache.v[b, idx])),
         positions=cache.positions.at[b, idx].set(
-            jnp.where(full, cache.positions[b, idx], pos_new[:, 0])),
-        length=jnp.minimum(cache.length + 1, cap),
+            jnp.where(drop, cache.positions[b, idx], pos_new[:, 0])),
+        length=jnp.where(drop, cache.length,
+                         jnp.minimum(cache.length + 1, cap)),
     )
 
 

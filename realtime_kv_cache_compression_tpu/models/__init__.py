@@ -1,1 +1,2 @@
 from . import llama  # noqa: F401
+from . import speculative  # noqa: F401
