@@ -293,7 +293,9 @@ class CompressionConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    """Llama-family architecture description (RoPE + GQA + RMSNorm + SwiGLU).
+    """Decoder-family architecture description (RoPE + GQA + RMSNorm + gated
+    MLP). Covers Llama/TinyLlama/Mistral (defaults), Qwen2 (`qkv_bias`) and
+    Gemma (`hidden_act`/`rms_norm_offset`/`scale_embeddings`).
 
     Counterpart of the dims carried on the reference config
     (base_config.py:10-13) plus what HF's LlamaConfig adds.
@@ -311,6 +313,11 @@ class ModelConfig:
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"
+    # Family variants:
+    qkv_bias: bool = False        # Qwen2: biases on q/k/v projections
+    hidden_act: str = "silu"      # gated-MLP activation; Gemma: "gelu_tanh"
+    rms_norm_offset: float = 0.0  # Gemma: norms scale by (1 + w), offset=1
+    scale_embeddings: bool = False  # Gemma: embeddings * sqrt(hidden_size)
 
     @property
     def kv_dim(self) -> int:
@@ -337,6 +344,32 @@ LLAMA3_8B = ModelConfig(vocab_size=128256, hidden_size=4096,
                         intermediate_size=14336, num_layers=32,
                         num_heads=32, num_kv_heads=8, head_dim=128,
                         max_position_embeddings=8192, rope_theta=500000.0)
+# Qwen2: same decoder skeleton + attention-projection biases.
+QWEN2_7B = ModelConfig(vocab_size=152064, hidden_size=3584,
+                       intermediate_size=18944, num_layers=28,
+                       num_heads=28, num_kv_heads=4, head_dim=128,
+                       max_position_embeddings=32768, rope_theta=1e6,
+                       rms_norm_eps=1e-6, qkv_bias=True)
+QWEN2_0_5B = ModelConfig(vocab_size=151936, hidden_size=896,
+                         intermediate_size=4864, num_layers=24,
+                         num_heads=14, num_kv_heads=2, head_dim=64,
+                         max_position_embeddings=32768, rope_theta=1e6,
+                         rms_norm_eps=1e-6, qkv_bias=True,
+                         tie_word_embeddings=True)
+# Gemma (v1): GeGLU MLP, (1 + w) RMSNorm scaling, sqrt(hidden)-scaled
+# embeddings, tied LM head, 256-dim heads.
+GEMMA_2B = ModelConfig(vocab_size=256000, hidden_size=2048,
+                       intermediate_size=16384, num_layers=18,
+                       num_heads=8, num_kv_heads=1, head_dim=256,
+                       max_position_embeddings=8192, rms_norm_eps=1e-6,
+                       tie_word_embeddings=True, hidden_act="gelu_tanh",
+                       rms_norm_offset=1.0, scale_embeddings=True)
+GEMMA_7B = ModelConfig(vocab_size=256000, hidden_size=3072,
+                       intermediate_size=24576, num_layers=28,
+                       num_heads=16, num_kv_heads=16, head_dim=256,
+                       max_position_embeddings=8192, rms_norm_eps=1e-6,
+                       tie_word_embeddings=True, hidden_act="gelu_tanh",
+                       rms_norm_offset=1.0, scale_embeddings=True)
 
 
 def reference_anchor_config(num_layers: int = 32,

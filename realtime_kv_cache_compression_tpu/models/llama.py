@@ -38,6 +38,8 @@ from ..compression.kv_cache import (CompressedLayerCache, DecodePool,
 from ..config import CompressionConfig, ModelConfig
 from ..ops.attention import (attention_over_tokens,
                              prefill_attention_with_prompt_mass)
+from ..ops.sampling import (SamplingParams, init_counts, sample_logits,
+                            update_counts)
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -53,7 +55,7 @@ def init_params(key: Array, cfg: ModelConfig) -> Params:
     dtype = jnp.dtype(cfg.dtype)
     h, qd, kvd, i = (cfg.hidden_size, cfg.q_dim, cfg.kv_dim,
                      cfg.intermediate_size)
-    keys = iter(jax.random.split(key, 4 + 7 * cfg.num_layers))
+    keys = iter(jax.random.split(key, 4 + 10 * cfg.num_layers))
 
     def dense(k, fan_in, shape):
         return (jax.random.normal(k, shape, jnp.float32)
@@ -61,7 +63,7 @@ def init_params(key: Array, cfg: ModelConfig) -> Params:
 
     layers = []
     for _ in range(cfg.num_layers):
-        layers.append({
+        layer = {
             "wq": dense(next(keys), h, (h, qd)),
             "wk": dense(next(keys), h, (h, kvd)),
             "wv": dense(next(keys), h, (h, kvd)),
@@ -71,7 +73,12 @@ def init_params(key: Array, cfg: ModelConfig) -> Params:
             "w_down": dense(next(keys), i, (i, h)),
             "input_norm": jnp.ones((h,), dtype),
             "post_norm": jnp.ones((h,), dtype),
-        })
+        }
+        if cfg.qkv_bias:  # random (not zero) so tests exercise the adds
+            layer["bq"] = dense(next(keys), h, (qd,))
+            layer["bk"] = dense(next(keys), h, (kvd,))
+            layer["bv"] = dense(next(keys), h, (kvd,))
+        layers.append(layer)
     params = {
         "embed": dense(next(keys), h, (cfg.vocab_size, h)),
         "layers": layers,
@@ -106,13 +113,20 @@ def _matmul(x: Array, w) -> Array:
     return x @ w
 
 
-def _embed_lookup(embed, input_ids: Array, dtype) -> Array:
+def _embed_lookup(embed, input_ids: Array, dtype, cfg=None) -> Array:
     from .quantized_params import QuantizedTensor
 
     if isinstance(embed, QuantizedTensor):
         rows = embed.q[input_ids].astype(jnp.float32)
-        return (rows * embed.scale[input_ids][..., None]).astype(dtype)
-    return embed[input_ids].astype(dtype)
+        out = (rows * embed.scale[input_ids][..., None]).astype(dtype)
+    else:
+        out = embed[input_ids].astype(dtype)
+    if cfg is not None and cfg.scale_embeddings:
+        # Gemma scales embeddings by sqrt(hidden) in the model dtype. The
+        # scale must live HERE, not in the weights: the tied LM head reads
+        # the same matrix unscaled.
+        out = out * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
+    return out
 
 
 def rmsnorm(x: Array, w: Array, eps: float) -> Array:
@@ -144,14 +158,29 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
 def _qkv(layer: Params, x: Array, cfg: ModelConfig
          ) -> Tuple[Array, Array, Array]:
     b, s, _ = x.shape
-    q = _matmul(x, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = _matmul(x, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = _matmul(x, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    return q, k, v
+    q = _matmul(x, layer["wq"])
+    k = _matmul(x, layer["wk"])
+    v = _matmul(x, layer["wv"])
+    if "bq" in layer:  # Qwen2-style projection biases (cfg.qkv_bias)
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    return (q.reshape(b, s, cfg.num_heads, cfg.head_dim),
+            k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim))
 
 
-def _mlp(layer: Params, x: Array) -> Array:
-    return _matmul(jax.nn.silu(_matmul(x, layer["w_gate"]))
+def _act(x: Array, name: str) -> Array:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name == "gelu_tanh":  # HF "gelu_pytorch_tanh" (Gemma)
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown hidden_act {name!r}")
+
+
+def _mlp(layer: Params, x: Array, cfg: Optional[ModelConfig] = None) -> Array:
+    act = cfg.hidden_act if cfg is not None else "silu"
+    return _matmul(_act(_matmul(x, layer["w_gate"]), act)
                    * _matmul(x, layer["w_up"]), layer["w_down"])
 
 
@@ -250,7 +279,7 @@ def prefill_layers_compressed(
 
         h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
         x2 = rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps)
-        h = h + _mlp(layer, x2)
+        h = h + _mlp(layer, x2, cfg)
     return h, caches, recents, pools, all_stats
 
 
@@ -283,7 +312,8 @@ def prefill_compressed(
     """
     b, s = input_ids.shape
     prompt_len = ccfg.prompt_length(s)
-    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype))
+    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype),
+                      cfg=cfg)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     if lengths is not None:
         token_valid = positions < lengths[:, None]
@@ -335,7 +365,8 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
     if pad:
         input_ids = jnp.pad(input_ids, ((0, 0), (0, pad)))
     b, s = input_ids.shape
-    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype))
+    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype),
+                      cfg=cfg)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     for layer in params["layers"]:
@@ -359,7 +390,8 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
         else:
             attn_out, _ = prefill_attention_with_prompt_mass(q, k, v, 1)
         h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
-        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps),
+                     cfg)
     if pad:
         h = h[:, :s_in]
     return logits_from_hidden(params, h, cfg)
@@ -377,7 +409,8 @@ def prefill_uncompressed(
     right-padded ragged batches gather logits at the true last position
     (padding keys are isolated by causality; decode overwrites pad slots)."""
     b, s = input_ids.shape
-    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype))
+    h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype),
+                      cfg=cfg)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     ks, vs = [], []
@@ -390,7 +423,8 @@ def prefill_uncompressed(
         ks.append(k)
         vs.append(v)
         h = h + _matmul(attn_out.reshape(b, s, cfg.q_dim), layer["wo"])
-        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps),
+                     cfg)
     if lengths is not None:
         last_h = jnp.take_along_axis(
             h, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
@@ -476,7 +510,8 @@ def decode_layers_step(
                 q_pos)
 
         h = h + _matmul(attn_out.reshape(b, 1, cfg.q_dim), layer["wo"])
-        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps),
+                     cfg)
     return h, new_recents, new_pools
 
 
@@ -497,7 +532,8 @@ def decode_step(
     Returns (logits [B, V], updated state).
     """
     b = token.shape[0]
-    h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype))[:, None]  # [B,1,H]
+    h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype),
+                      cfg=cfg)[:, None]  # [B,1,H]
     q_pos = state.position[:, None]  # [B, 1]
     cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
 
@@ -524,7 +560,10 @@ def decode_loop(
     use_fused: Optional[bool] = None,
     temperature: float = 0.0,
     rng: Optional[Array] = None,
-) -> Tuple[Array, DecodeState]:
+    sampling: Optional[SamplingParams] = None,
+    counts: Optional[Array] = None,
+    return_counts: bool = False,
+):
     """n_steps of decode inside one XLA program (lax.scan over steps).
 
     use_fused=None → auto: fused Pallas decode kernel on TPU (it wins at
@@ -533,6 +572,14 @@ def decode_loop(
     One dispatch for the whole generation — essential on TPU, where per-call
     host round-trips would otherwise dominate decode latency.
     temperature == 0 → greedy; > 0 → categorical sampling (requires `rng`).
+    `sampling` (ops.sampling.SamplingParams) supersedes `temperature` and
+    adds top-k / top-p / min-p filtering plus repetition/presence/frequency
+    penalties inside the scanned program. Penalties track per-row token
+    occurrence counts in the scan carry; pass `counts` ([B, vocab] int32,
+    already including every previously generated token) to continue an
+    earlier generation (the serving engine does, across decode chunks) —
+    omitted, a fresh count seeded with `first_token` is used. With
+    `return_counts=True` the final counts come back as a third result.
 
     Generation length: with decode pools (ccfg.decode_pool_blocks > 0) any
     n_steps is supported — full rings flush into the quantized pool, and
@@ -540,28 +587,40 @@ def decode_loop(
     (sliding window; prefill pools are never evicted). Without pools,
     n_steps must stay <= the recent-ring capacity set at prefill (appends
     past a full ring are dropped).
+
+    Returns (tokens [B, n_steps], state) — plus final counts when
+    `return_counts`.
     """
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
-    if temperature > 0.0 and rng is None:
+    if sampling is None:
+        sampling = SamplingParams(temperature=temperature)
+    if not sampling.is_greedy and rng is None:
         raise ValueError("sampling (temperature > 0) requires an rng key")
     if rng is None:
         rng = jax.random.PRNGKey(0)  # unused in greedy mode
+    track_counts = sampling.uses_penalties or return_counts
+    if track_counts and counts is None:
+        counts = init_counts(first_token.shape[0], cfg.vocab_size,
+                             first_token)
+    if not track_counts:
+        counts = jnp.zeros((), jnp.int32)  # inert carry placeholder
 
     def body(carry, _):
-        tok, st, key = carry
+        tok, st, key, cnt = carry
         logits, st = decode_step(params, tok, st, cfg, ccfg,
                                  use_fused=use_fused)
-        if temperature > 0.0:
-            key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(
-                sub, logits.astype(jnp.float32) / temperature, axis=-1)
-        else:
-            nxt = jnp.argmax(logits, axis=-1)
-        return (nxt, st, key), nxt
+        key, sub = jax.random.split(key)
+        nxt = sample_logits(logits, sub, sampling,
+                            counts=cnt if track_counts else None)
+        if track_counts:
+            cnt = update_counts(cnt, nxt)
+        return (nxt, st, key, cnt), nxt
 
-    (_, state, _), toks = jax.lax.scan(body, (first_token, state, rng), None,
-                                       length=n_steps)
+    (_, state, _, counts), toks = jax.lax.scan(
+        body, (first_token, state, rng, counts), None, length=n_steps)
+    if return_counts:
+        return toks.T, state, counts
     return toks.T, state  # [B, n_steps]
 
 
@@ -581,7 +640,8 @@ def decode_step_uncompressed(
     b = token.shape[0]
     ks, vs = kv
     m = ks.shape[2]
-    h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype))[:, None]
+    h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype),
+                      cfg=cfg)[:, None]
     q_pos = position[:, None]
     cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
     pos_all = jnp.broadcast_to(jnp.arange(m)[None], (b, m))
@@ -600,7 +660,8 @@ def decode_step_uncompressed(
         attn_out = attention_over_tokens(q, k_cache, v_cache, pos_all, valid,
                                          q_pos)
         h = h + _matmul(attn_out.reshape(b, 1, cfg.q_dim), layer["wo"])
-        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps),
+                     cfg)
     logits = logits_from_hidden(params, h[:, 0], cfg)
     return logits, (jnp.stack(new_ks), jnp.stack(new_vs)), position + 1
 
@@ -643,10 +704,12 @@ def generate(
     eos_token_id: Optional[int] = None,
     temperature: float = 0.0,
     rng: Optional[Array] = None,
+    sampling: Optional[SamplingParams] = None,
 ) -> Tuple[Array, List[Dict[str, Array]]]:
     """Generation with compressed KV (greedy, or sampled when
-    temperature > 0). Returns (generated ids [B, T], per-layer prefill
-    compression stats).
+    temperature > 0; `sampling` adds top-k/top-p/min-p — the HF
+    GenerationConfig surface the reference used). Returns
+    (generated ids [B, T], per-layer prefill compression stats).
 
     use_fused_decode=None → auto: the fused Pallas decode kernel on TPU
     (it beats the XLA dequant path at batch 1 and 8, 4K and 32K —
@@ -654,19 +717,20 @@ def generate(
     Pallas would crawl on CPU)."""
     if use_fused_decode is None:
         use_fused_decode = jax.default_backend() == "tpu"
-    if temperature > 0.0 and rng is None:
+    if sampling is None:
+        sampling = SamplingParams(temperature=temperature)
+    if not sampling.is_greedy and rng is None:
         rng = jax.random.PRNGKey(0)
     prefill = jax.jit(lambda p, ids: prefill_compressed(
         p, ids, cfg, ccfg, max_decode_len=max_new_tokens,
         use_flash=use_flash))
     loop = jax.jit(lambda p, t, s, k: decode_loop(
         p, t, s, max_new_tokens - 1, cfg, ccfg, use_fused=use_fused_decode,
-        temperature=temperature, rng=k))
+        rng=k, sampling=sampling))
     logits, state, stats = prefill(params, input_ids)
-    if temperature > 0.0:
+    if not sampling.is_greedy:
         rng, sub = jax.random.split(rng)
-        tok = jax.random.categorical(
-            sub, logits.astype(jnp.float32) / temperature, axis=-1)
+        tok = sample_logits(logits, sub, sampling)
     else:
         tok = jnp.argmax(logits, axis=-1)
     if max_new_tokens > 1:

@@ -105,7 +105,8 @@ def verify_forward(params: Params, tokens: Array, state: DecodeState,
     Returns (logits [B, T, V], per-layer [(k_blk, v_blk)] for commit).
     """
     b, t = tokens.shape
-    h = _embed_lookup(params["embed"], tokens, jnp.dtype(cfg.dtype))
+    h = _embed_lookup(params["embed"], tokens, jnp.dtype(cfg.dtype),
+                      cfg=cfg)
     q_pos = state.position[:, None] + jnp.arange(t)[None]          # [B, T]
     cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
     have_pools = bool(state.pools) and state.pools[0] is not None
@@ -139,7 +140,8 @@ def verify_forward(params: Params, tokens: Array, state: DecodeState,
             jnp.concatenate(ps, axis=1), jnp.concatenate(vds, axis=1),
             q_pos)
         h = h + _matmul(attn_out.reshape(b, t, cfg.q_dim), layer["wo"])
-        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps),
+                     cfg)
     return logits_from_hidden(params, h, cfg), blocks
 
 

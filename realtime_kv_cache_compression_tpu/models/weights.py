@@ -20,11 +20,20 @@ from ..config import ModelConfig
 
 
 def config_from_hf(checkpoint_dir: str) -> ModelConfig:
-    """Build a ModelConfig from an HF config.json."""
+    """Build a ModelConfig from an HF config.json.
+
+    Families: Llama/TinyLlama/Mistral (defaults), Qwen2 (projection biases),
+    Gemma v1 (GeGLU + (1+w) norms + scaled embeddings)."""
     with open(os.path.join(checkpoint_dir, "config.json")) as f:
         hf = json.load(f)
     num_heads = hf["num_attention_heads"]
     head_dim = hf.get("head_dim", hf["hidden_size"] // num_heads)
+    arch = (hf.get("architectures") or [hf.get("model_type", "")])[0]
+    is_qwen2 = "Qwen2" in arch or hf.get("model_type") == "qwen2"
+    is_gemma = "Gemma" in arch or hf.get("model_type") == "gemma"
+    act = hf.get("hidden_activation") or hf.get("hidden_act", "silu")
+    hidden_act = ("gelu_tanh" if act in ("gelu", "gelu_pytorch_tanh")
+                  else "silu")
     return ModelConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -36,7 +45,11 @@ def config_from_hf(checkpoint_dir: str) -> ModelConfig:
         max_position_embeddings=hf.get("max_position_embeddings", 4096),
         rope_theta=hf.get("rope_theta", 10000.0),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
-        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        tie_word_embeddings=hf.get("tie_word_embeddings", is_gemma),
+        qkv_bias=hf.get("attention_bias", False) or is_qwen2,
+        hidden_act=hidden_act,
+        rms_norm_offset=1.0 if is_gemma else 0.0,
+        scale_embeddings=is_gemma,
     )
 
 
@@ -62,50 +75,70 @@ def _open_shards(checkpoint_dir: str):
     return handles
 
 
-def load_hf_checkpoint(checkpoint_dir: str, cfg: Optional[ModelConfig] = None,
-                       dtype: Optional[str] = None) -> Dict[str, Any]:
-    """Load a local HF Llama checkpoint into the params pytree.
+def params_from_tensors(get, cfg: ModelConfig, target) -> Dict[str, Any]:
+    """Build the params pytree from a tensor getter `get(hf_name) -> np/jnp`.
 
-    HF stores projection weights as [out, in]; our params are [in, out], so
-    every matmul weight transposes on load.
+    Shared by safetensors loading and in-memory HF state dicts (tests). HF
+    stores projection weights as [out, in]; our params are [in, out], so
+    every matmul weight transposes. Gemma's (1 + w) norm scaling is folded
+    into the stored norm weights here (in f32, then cast), so the compute
+    path has a single rmsnorm everywhere.
     """
-    cfg = cfg or config_from_hf(checkpoint_dir)
-    target = jnp.dtype(dtype or cfg.dtype)
-    handles = _open_shards(checkpoint_dir)
+    def w(name):
+        return jnp.asarray(get(name)).T.astype(target)
 
-    def get(name: str, transpose: bool = False) -> jnp.ndarray:
-        arr = handles[name].get_tensor(name)
-        if arr.dtype == np.uint16:  # raw bf16 view from safetensors-np
-            arr = arr.view(np.uint16)
-            x = jnp.asarray(arr).view(jnp.bfloat16)
-        else:
-            x = jnp.asarray(arr)
-        if transpose:
-            x = x.T
-        return x.astype(target)
+    def norm(name):
+        x = jnp.asarray(get(name)).astype(jnp.float32)
+        return (x + cfg.rms_norm_offset).astype(target)
 
     layers = []
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
-        layers.append({
-            "wq": get(p + "self_attn.q_proj.weight", transpose=True),
-            "wk": get(p + "self_attn.k_proj.weight", transpose=True),
-            "wv": get(p + "self_attn.v_proj.weight", transpose=True),
-            "wo": get(p + "self_attn.o_proj.weight", transpose=True),
-            "w_gate": get(p + "mlp.gate_proj.weight", transpose=True),
-            "w_up": get(p + "mlp.up_proj.weight", transpose=True),
-            "w_down": get(p + "mlp.down_proj.weight", transpose=True),
-            "input_norm": get(p + "input_layernorm.weight"),
-            "post_norm": get(p + "post_attention_layernorm.weight"),
-        })
+        layer = {
+            "wq": w(p + "self_attn.q_proj.weight"),
+            "wk": w(p + "self_attn.k_proj.weight"),
+            "wv": w(p + "self_attn.v_proj.weight"),
+            "wo": w(p + "self_attn.o_proj.weight"),
+            "w_gate": w(p + "mlp.gate_proj.weight"),
+            "w_up": w(p + "mlp.up_proj.weight"),
+            "w_down": w(p + "mlp.down_proj.weight"),
+            "input_norm": norm(p + "input_layernorm.weight"),
+            "post_norm": norm(p + "post_attention_layernorm.weight"),
+        }
+        if cfg.qkv_bias:
+            layer["bq"] = jnp.asarray(
+                get(p + "self_attn.q_proj.bias")).astype(target)
+            layer["bk"] = jnp.asarray(
+                get(p + "self_attn.k_proj.bias")).astype(target)
+            layer["bv"] = jnp.asarray(
+                get(p + "self_attn.v_proj.bias")).astype(target)
+        layers.append(layer)
     params = {
-        "embed": get("model.embed_tokens.weight"),
+        "embed": jnp.asarray(
+            get("model.embed_tokens.weight")).astype(target),
         "layers": layers,
-        "final_norm": get("model.norm.weight"),
+        "final_norm": norm("model.norm.weight"),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = get("lm_head.weight", transpose=True)
+        params["lm_head"] = w("lm_head.weight")
     return params
+
+
+def load_hf_checkpoint(checkpoint_dir: str, cfg: Optional[ModelConfig] = None,
+                       dtype: Optional[str] = None) -> Dict[str, Any]:
+    """Load a local HF checkpoint (Llama/Mistral/Qwen2/Gemma family) into
+    the params pytree, streaming straight from safetensors shards."""
+    cfg = cfg or config_from_hf(checkpoint_dir)
+    target = jnp.dtype(dtype or cfg.dtype)
+    handles = _open_shards(checkpoint_dir)
+
+    def get(name: str) -> jnp.ndarray:
+        arr = handles[name].get_tensor(name)
+        if arr.dtype == np.uint16:  # raw bf16 view from safetensors-np
+            return jnp.asarray(arr.view(np.uint16)).view(jnp.bfloat16)
+        return jnp.asarray(arr)
+
+    return params_from_tensors(get, cfg, target)
 
 
 def save_params_npz(path: str, params: Dict[str, Any]):

@@ -1,1 +1,2 @@
-from . import attention, importance, quantization, selection  # noqa: F401
+from . import (attention, importance, quantization,  # noqa: F401
+               sampling, selection)

@@ -104,7 +104,8 @@ def _run_stage(layers_local, h: Array, cos, sin, cfg: ModelConfig) -> Array:
         h = h + llama._matmul(attn_out.reshape(b, s, cfg.q_dim),
                               layer["wo"])
         h = h + llama._mlp(
-            layer, llama.rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps))
+            layer, llama.rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps),
+            cfg)
         return h, None
 
     h, _ = jax.lax.scan(body, h, layers_local)
@@ -145,7 +146,7 @@ def pipeline_lm_loss(stacked_params: Params, input_ids: Array,
             mb_in = jnp.clip(t, 0, n_microbatches - 1)
             ids_t = jax.lax.dynamic_index_in_dim(ids_mb, mb_in, 0,
                                                  keepdims=False)
-            inj = llama._embed_lookup(embed, ids_t, dtype)
+            inj = llama._embed_lookup(embed, ids_t, dtype, cfg=cfg)
             act = jnp.where(idx == 0, inj, act)
             act = _run_stage(layers_local, act, cos, sin, cfg)
 
@@ -283,7 +284,8 @@ class PipelineInference:
         cfg = self.cfg
         b, s = input_ids.shape
         ids = jax.device_put(input_ids, self.devices[0])
-        h = llama._embed_lookup(self.embed_first, ids, jnp.dtype(cfg.dtype))
+        h = llama._embed_lookup(self.embed_first, ids, jnp.dtype(cfg.dtype),
+                                cfg=cfg)
         positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
         cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
         all_stats: List = []
@@ -314,7 +316,7 @@ class PipelineInference:
         outs = []
         for _ in range(n_steps):
             h = llama._embed_lookup(self.embed_first, tok,
-                                    jnp.dtype(cfg.dtype))[:, None]
+                                    jnp.dtype(cfg.dtype), cfg=cfg)[:, None]
             q_pos = self._position[:, None]
             cos, sin = llama.rope_tables(q_pos, cfg.head_dim,
                                          cfg.rope_theta)

@@ -99,7 +99,7 @@ def seq_parallel_prefill(
         q_off = my * s_loc
         positions = q_off + jnp.broadcast_to(jnp.arange(s_loc)[None],
                                              (b, s_loc))
-        h = llama._embed_lookup(params["embed"], ids_loc, dtype)
+        h = llama._embed_lookup(params["embed"], ids_loc, dtype, cfg=cfg)
         cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
         caches, recents, pools, all_stats = [], [], [], []
@@ -138,7 +138,7 @@ def seq_parallel_prefill(
             h = h + llama._matmul(attn_out.reshape(b, s_loc, cfg.q_dim),
                                   layer["wo"])
             h = h + llama._mlp(layer, llama.rmsnorm(
-                h, layer["post_norm"], cfg.rms_norm_eps))
+                h, layer["post_norm"], cfg.rms_norm_eps), cfg)
 
         # The global last position lives on the last shard; psum broadcasts
         # its hidden state (all other shards contribute zeros).

@@ -81,6 +81,7 @@ class ServingEngine:
                  eos_token_id: Optional[int] = None,
                  async_admission: bool = True,
                  temperature: float = 0.0,
+                 sampling=None,
                  seed: int = 0,
                  mesh=None):
         self.mcfg = mcfg
@@ -154,18 +155,34 @@ class ServingEngine:
         self._materialize = jax.jit(
             lambda s: jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x[:1], num_slots, axis=0), s))
-        self.temperature = temperature
+        if sampling is None:
+            from ..ops.sampling import SamplingParams
+
+            sampling = SamplingParams(temperature=temperature)
+        self.temperature = sampling.temperature
+        self.sampling = sampling
         # Keys/tokens must be global arrays under a process-spanning mesh so
         # decode can mix them with the mesh-sharded state in one program
         # (same seed everywhere); _put is the one placement helper.
         self._rng = self._put(jax.random.PRNGKey(seed))
-        self._decode = jax.jit(lambda p, t, s, k: llama.decode_loop(
-            p, t, s, decode_chunk, mcfg, ccfg,
-            use_fused=use_fused_decode, temperature=temperature, rng=k))
+        # Repetition/presence/frequency penalties need per-slot token
+        # occurrence counts persisted ACROSS decode chunks (a fresh count
+        # every chunk would forget earlier repeats); the loop returns the
+        # updated counts alongside the state.
+        self._track_counts = sampling.uses_penalties
+        if self._track_counts:
+            self._decode = jax.jit(lambda p, t, s, k, c: llama.decode_loop(
+                p, t, s, decode_chunk, mcfg, ccfg, use_fused=use_fused_decode,
+                rng=k, sampling=sampling, counts=c, return_counts=True))
+        else:
+            self._decode = jax.jit(lambda p, t, s, k: llama.decode_loop(
+                p, t, s, decode_chunk, mcfg, ccfg,
+                use_fused=use_fused_decode, rng=k, sampling=sampling))
 
         # Batched state, created lazily at first admission.
         self._state: Optional[llama.DecodeState] = None
         self._last_tokens: Optional[Array] = None  # [num_slots]
+        self._counts: Optional[Array] = None  # [num_slots, vocab]
         self._active_mask = [False] * num_slots
 
     # -- public API ---------------------------------------------------------
@@ -251,7 +268,13 @@ class ServingEngine:
         return jax.device_get(x)
 
     def _complete_admission(self, pairs, logits, state, stats):
-        first_toks = jnp.argmax(logits, axis=-1)  # [bsz]
+        if self.sampling.is_greedy:
+            first_toks = jnp.argmax(logits, axis=-1)  # [bsz]
+        else:
+            from ..ops.sampling import sample_logits
+
+            self._rng, sub = jax.random.split(self._rng)
+            first_toks = sample_logits(logits, sub, self.sampling)
         toks_host = self._host(first_toks)
         row_stats = summarize_layer_stats_per_row(stats, len(pairs))
         if self._state is None:
@@ -265,6 +288,9 @@ class ServingEngine:
 
             self._last_tokens = self._put(
                 np.zeros((self.num_slots,), np.int32))
+            if self._track_counts:
+                self._counts = self._put(np.zeros(
+                    (self.num_slots, self.mcfg.vocab_size), np.int32))
         for row, (req, slot) in enumerate(pairs):
             tok0 = int(toks_host[row])
             req.ttft = time.time() - req.submitted_at
@@ -272,6 +298,9 @@ class ServingEngine:
             req.tokens.append(tok0)
             self._state = self._insert(self._state, state, row, slot)
             self._last_tokens = self._last_tokens.at[slot].set(tok0)
+            if self._track_counts:  # fresh counts for the slot's new request
+                self._counts = self._counts.at[slot].set(0)
+                self._counts = self._counts.at[slot, tok0].add(1)
             self._slot_budget[slot] = req.max_new_tokens - 1
             self._active_mask[slot] = True
             if self._slot_budget[slot] <= 0:
@@ -316,8 +345,13 @@ class ServingEngine:
 
         # 2) One decode chunk for the whole batch.
         self._rng, sub = jax.random.split(self._rng)
-        toks, self._state = self._decode(self.params, self._last_tokens,
-                                         self._state, sub)
+        if self._track_counts:
+            toks, self._state, self._counts = self._decode(
+                self.params, self._last_tokens, self._state, sub,
+                self._counts)
+        else:
+            toks, self._state = self._decode(self.params, self._last_tokens,
+                                             self._state, sub)
         toks_host = self._host(toks)  # [num_slots, decode_chunk]
         self._last_tokens = toks[:, -1]
 
