@@ -563,6 +563,7 @@ def decode_loop(
     sampling: Optional[SamplingParams] = None,
     counts: Optional[Array] = None,
     return_counts: bool = False,
+    return_logprobs: bool = False,
 ):
     """n_steps of decode inside one XLA program (lax.scan over steps).
 
@@ -589,7 +590,11 @@ def decode_loop(
     past a full ring are dropped).
 
     Returns (tokens [B, n_steps], state) — plus final counts when
-    `return_counts`.
+    `return_counts`, plus per-token logprobs [B, n_steps] when
+    `return_logprobs` (in that order). Logprobs are of the model's raw
+    next-token distribution (log-softmax of the unprocessed logits at the
+    emitted token — the OpenAI-API convention), independent of temperature,
+    filters, and penalties.
     """
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
@@ -615,13 +620,21 @@ def decode_loop(
                             counts=cnt if track_counts else None)
         if track_counts:
             cnt = update_counts(cnt, nxt)
-        return (nxt, st, key, cnt), nxt
+        out = nxt
+        if return_logprobs:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            out = (nxt, jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0])
+        return (nxt, st, key, cnt), out
 
-    (_, state, _, counts), toks = jax.lax.scan(
+    (_, state, _, counts), out = jax.lax.scan(
         body, (first_token, state, rng, counts), None, length=n_steps)
+    toks, lps = out if return_logprobs else (out, None)
+    result = [toks.T, state]
     if return_counts:
-        return toks.T, state, counts
-    return toks.T, state  # [B, n_steps]
+        result.append(counts)
+    if return_logprobs:
+        result.append(lps.T)
+    return tuple(result) if len(result) > 2 else (result[0], result[1])
 
 
 def decode_step_uncompressed(

@@ -57,6 +57,12 @@ class Request:
     finished: bool = False
     ttft: Optional[float] = None
     finished_at: Optional[float] = None
+    # Request-level generation controls (see ServingEngine.submit):
+    stop_sequences: List[List[int]] = dataclasses.field(default_factory=list)
+    eos_token_id: Optional[int] = None  # None -> engine default
+    on_token: Optional[Any] = None      # streaming callback(req, new_tokens)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
+    stop_reason: Optional[str] = None   # "eos" | "stop" | "length"
 
 
 def _tree_insert_row(batched, multi, row, slot):
@@ -82,6 +88,7 @@ class ServingEngine:
                  async_admission: bool = True,
                  temperature: float = 0.0,
                  sampling=None,
+                 logprobs: bool = False,
                  seed: int = 0,
                  mesh=None):
         self.mcfg = mcfg
@@ -170,14 +177,21 @@ class ServingEngine:
         # every chunk would forget earlier repeats); the loop returns the
         # updated counts alongside the state.
         self._track_counts = sampling.uses_penalties
+        # logprobs=True: every decode chunk also returns the model's
+        # log-probability of each emitted token (raw distribution, OpenAI
+        # convention); one extra log-softmax per step, negligible next to
+        # the layer matmuls. Delivered on Request.logprobs.
+        self.logprobs = logprobs
         if self._track_counts:
             self._decode = jax.jit(lambda p, t, s, k, c: llama.decode_loop(
                 p, t, s, decode_chunk, mcfg, ccfg, use_fused=use_fused_decode,
-                rng=k, sampling=sampling, counts=c, return_counts=True))
+                rng=k, sampling=sampling, counts=c, return_counts=True,
+                return_logprobs=logprobs))
         else:
             self._decode = jax.jit(lambda p, t, s, k: llama.decode_loop(
                 p, t, s, decode_chunk, mcfg, ccfg,
-                use_fused=use_fused_decode, rng=k, sampling=sampling))
+                use_fused=use_fused_decode, rng=k, sampling=sampling,
+                return_logprobs=logprobs))
 
         # Batched state, created lazily at first admission.
         self._state: Optional[llama.DecodeState] = None
@@ -187,14 +201,28 @@ class ServingEngine:
 
     # -- public API ---------------------------------------------------------
 
-    def submit(self, input_ids: List[int], max_new_tokens: Optional[int] = None
-               ) -> int:
+    def submit(self, input_ids: List[int],
+               max_new_tokens: Optional[int] = None,
+               stop_sequences: Optional[List[List[int]]] = None,
+               eos_token_id: Optional[int] = None,
+               on_token=None) -> int:
+        """Queue a request.
+
+        stop_sequences: token-id sequences; generation stops when one
+          appears (it stays in the output; matches may span decode chunks).
+        eos_token_id: per-request EOS overriding the engine default.
+        on_token: streaming callback `f(request, new_tokens: List[int])`,
+          invoked from the host loop after each decode chunk with the tokens
+          that survived EOS/stop/budget truncation.
+        """
         rid = self._next_rid
         self._next_rid += 1
         self._pending.append(Request(
             rid=rid, input_ids=list(input_ids),
             max_new_tokens=min(max_new_tokens or self.max_new_tokens,
-                               self.max_new_tokens)))
+                               self.max_new_tokens),
+            stop_sequences=[list(s) for s in (stop_sequences or [])],
+            eos_token_id=eos_token_id, on_token=on_token))
         return rid
 
     def has_work(self) -> bool:
@@ -276,6 +304,11 @@ class ServingEngine:
             self._rng, sub = jax.random.split(self._rng)
             first_toks = sample_logits(logits, sub, self.sampling)
         toks_host = self._host(first_toks)
+        lp0_host = None
+        if self.logprobs:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp0_host = self._host(
+                jnp.take_along_axis(lp, first_toks[:, None], axis=-1)[:, 0])
         row_stats = summarize_layer_stats_per_row(stats, len(pairs))
         if self._state is None:
             self._state = self._materialize(state)
@@ -295,7 +328,6 @@ class ServingEngine:
             tok0 = int(toks_host[row])
             req.ttft = time.time() - req.submitted_at
             req.prefill_stats = row_stats[row]
-            req.tokens.append(tok0)
             self._state = self._insert(self._state, state, row, slot)
             self._last_tokens = self._last_tokens.at[slot].set(tok0)
             if self._track_counts:  # fresh counts for the slot's new request
@@ -303,12 +335,55 @@ class ServingEngine:
                 self._counts = self._counts.at[slot, tok0].add(1)
             self._slot_budget[slot] = req.max_new_tokens - 1
             self._active_mask[slot] = True
-            if self._slot_budget[slot] <= 0:
-                self._finish(slot)
+            _, reason = self._deliver(
+                slot, [tok0],
+                None if lp0_host is None else [float(lp0_host[row])])
+            if reason is not None:
+                self._finish(slot, reason)
+            elif self._slot_budget[slot] <= 0:
+                self._finish(slot, "length")
 
-    def _finish(self, slot: int):
+    def _deliver(self, slot: int, new: List[int],
+                 lps: Optional[List[float]]
+                 ) -> Tuple[int, Optional[str]]:
+        """Append freshly decoded tokens to the slot's request, applying
+        EOS then stop-sequence truncation; streams kept tokens via the
+        request's on_token callback. Returns (n_kept, finish_reason)."""
+        req = self._slots[slot]
+        eos = (req.eos_token_id if req.eos_token_id is not None
+               else self.eos_token_id)
+        reason = None
+        if eos is not None and eos in new:
+            new = new[:new.index(eos) + 1]
+            reason = "eos"
+        start = len(req.tokens)
+        req.tokens.extend(new)
+        if lps is not None:
+            req.logprobs.extend(lps[:len(new)])
+        # Stop sequences may span decode-chunk boundaries: search for
+        # matches ENDING in the newly appended region; earliest end wins
+        # (and can pre-empt an EOS later in the same chunk).
+        if req.stop_sequences:
+            cut = None
+            for s in req.stop_sequences:
+                lo = max(len(s), start + 1)
+                for end in range(lo, len(req.tokens) + 1):
+                    if req.tokens[end - len(s):end] == s:
+                        cut = end if cut is None else min(cut, end)
+                        break
+            if cut is not None:
+                del req.tokens[cut:]
+                del req.logprobs[cut:]
+                new = req.tokens[start:]
+                reason = "stop"
+        if req.on_token is not None and new:
+            req.on_token(req, list(new))
+        return len(new), reason
+
+    def _finish(self, slot: int, reason: str = "length"):
         req = self._slots[slot]
         if req is not None:
+            req.stop_reason = req.stop_reason or reason
             req.finished = True
             req.finished_at = time.time()
             if isinstance(req.prefill_stats, list):  # device stats → floats
@@ -345,13 +420,14 @@ class ServingEngine:
 
         # 2) One decode chunk for the whole batch.
         self._rng, sub = jax.random.split(self._rng)
+        args = (self.params, self._last_tokens, self._state, sub)
         if self._track_counts:
-            toks, self._state, self._counts = self._decode(
-                self.params, self._last_tokens, self._state, sub,
-                self._counts)
+            res = self._decode(*args, self._counts)
+            self._counts = res[2]
         else:
-            toks, self._state = self._decode(self.params, self._last_tokens,
-                                             self._state, sub)
+            res = self._decode(*args)
+        toks, self._state = res[0], res[1]
+        lps_host = self._host(res[-1]) if self.logprobs else None
         toks_host = self._host(toks)  # [num_slots, decode_chunk]
         self._last_tokens = toks[:, -1]
 
@@ -359,18 +435,16 @@ class ServingEngine:
         for slot in range(self.num_slots):
             if not self._active_mask[slot]:
                 continue
-            req = self._slots[slot]
             take = min(self.decode_chunk, self._slot_budget[slot])
             new = [int(t) for t in toks_host[slot][:take]]
-            if self.eos_token_id is not None and self.eos_token_id in new:
-                new = new[:new.index(self.eos_token_id) + 1]
-                req.tokens.extend(new)
-                self._finish(slot)
-                continue
-            req.tokens.extend(new)
+            lps = (None if lps_host is None
+                   else [float(x) for x in lps_host[slot][:take]])
+            _, reason = self._deliver(slot, new, lps)
             self._slot_budget[slot] -= take
-            if self._slot_budget[slot] <= 0:
-                self._finish(slot)
+            if reason is not None:
+                self._finish(slot, reason)
+            elif self._slot_budget[slot] <= 0:
+                self._finish(slot, "length")
 
     # -- stats --------------------------------------------------------------
 
