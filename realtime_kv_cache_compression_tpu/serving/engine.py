@@ -19,6 +19,11 @@ Design:
   * Static shapes throughout: slot count, context bucket, recent-ring
     capacity are fixed at engine build; per-sequence raggedness lives in
     positions/validity values.
+  * Prefix caching (`prefix_cache_size=N`): completed prefills are kept
+    (LRU) as single-row decode states keyed by the exact prompt; repeat
+    prompts re-admit with zero prefill work. The compressed representation
+    is what makes the cache dense — packed sub-byte tier pools instead of
+    a full bf16 KV prefix.
   * Sharded serving (`mesh=`): weights shard tensor-parallel over `model`,
     slots (the decode batch) over `data`, and the KV tier pools commit to
     P(data, None, model, None) via prefill's sharding constraints
@@ -89,6 +94,7 @@ class ServingEngine:
                  temperature: float = 0.0,
                  sampling=None,
                  logprobs: bool = False,
+                 prefix_cache_size: int = 0,
                  seed: int = 0,
                  mesh=None):
         self.mcfg = mcfg
@@ -193,6 +199,22 @@ class ServingEngine:
                 use_fused=use_fused_decode, rng=k, sampling=sampling,
                 return_logprobs=logprobs))
 
+        # Prefix cache (prefix_cache_size > 0): completed prefills keyed by
+        # the exact (truncated) prompt are kept as single-row decode states —
+        # logits + compressed pools + ring — and re-admitted with zero
+        # prefill work. Compression is what makes this cheap: a cached
+        # prefix holds packed sub-byte tier pools, ~4x smaller than a dense
+        # prefix cache at the same context. LRU-evicted beyond the size cap.
+        from collections import OrderedDict
+
+        self.prefix_cache_size = prefix_cache_size
+        self._prefix_cache: Optional[OrderedDict] = (
+            OrderedDict() if prefix_cache_size > 0 else None)
+        self.prefix_hits = 0
+        self.prefix_misses = 0
+        self._extract_row = jax.jit(lambda s, r: jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, r, 1, axis=0), s))
+
         # Batched state, created lazily at first admission.
         self._state: Optional[llama.DecodeState] = None
         self._last_tokens: Optional[Array] = None  # [num_slots]
@@ -252,12 +274,41 @@ class ServingEngine:
         """One batched prefill for every admitted request (padded to a
         power-of-two batch so compile count stays O(log slots)); dispatched
         WITHOUT a host sync — completion is polled via Array.is_ready()
-        between decode chunks, so admission pipelines with decode."""
-        rows, lengths = [], []
-        for req, _slot in pairs:
+        between decode chunks, so admission pipelines with decode.
+        Prefix-cache hits skip the prefill entirely: the cached single-row
+        decode state is inserted into the slot immediately."""
+        hits = []
+        rows, lengths = [], []   # unique prompts only
+        row_of_key: Dict[Tuple[int, ...], int] = {}
+        keyed = []               # (req, slot, key, prefill_row)
+        for req, slot in pairs:
             ids, length = self._bucket_ids(req.input_ids)
-            rows.append(ids)
-            lengths.append(length)
+            key = tuple(ids[:length])
+            entry = (self._prefix_cache.get(key)
+                     if self._prefix_cache is not None else None)
+            if entry is not None and self._state is not None:
+                self._prefix_cache.move_to_end(key)
+                self.prefix_hits += 1
+                hits.append((req, slot, entry))
+                continue
+            # Identical prompts in the same admission batch share one
+            # prefill row (their decode states diverge only after the slot
+            # insert, so sharing is exact).
+            row = row_of_key.get(key)
+            if row is None:
+                row = row_of_key[key] = len(rows)
+                rows.append(ids)
+                lengths.append(length)
+                if self._prefix_cache is not None:
+                    self.prefix_misses += 1
+            elif self._prefix_cache is not None:
+                self.prefix_hits += 1  # served without its own prefill row
+            keyed.append((req, slot, key, row))
+        for req, slot, entry in hits:
+            self._slots[slot] = req
+            self._complete_cached(req, slot, entry)
+        if not keyed:
+            return
         bsz = 1 << (len(rows) - 1).bit_length()
         while len(rows) < bsz:  # pad rows: prefilled but never inserted
             rows.append(rows[0])
@@ -271,9 +322,9 @@ class ServingEngine:
         ids_arr = self._put(np.asarray(rows, np.int32), DATA_AXIS)
         len_arr = self._put(np.asarray(lengths, np.int32), DATA_AXIS)
         logits, state, stats = self._prefill(self.params, ids_arr, len_arr)
-        for req, slot in pairs:
+        for req, slot, _key, _row in keyed:
             self._slots[slot] = req  # reserve; not active until ready
-        self._inflight.append((pairs, logits, state, stats))
+        self._inflight.append((keyed, logits, state, stats))
 
     def _put(self, x, *spec):
         """Place a host value: global array on the mesh (works whether or
@@ -296,20 +347,25 @@ class ServingEngine:
         return jax.device_get(x)
 
     def _complete_admission(self, pairs, logits, state, stats):
+        # Work in PAIR space: requests sharing a prefill row (in-batch
+        # duplicates) still sample independent first tokens.
+        rows_idx = jnp.asarray([row for *_, row in pairs], jnp.int32)
+        pair_logits = jnp.take(logits, rows_idx, axis=0)  # [n_pairs, V]
         if self.sampling.is_greedy:
-            first_toks = jnp.argmax(logits, axis=-1)  # [bsz]
+            first_toks = jnp.argmax(pair_logits, axis=-1)
         else:
             from ..ops.sampling import sample_logits
 
             self._rng, sub = jax.random.split(self._rng)
-            first_toks = sample_logits(logits, sub, self.sampling)
+            first_toks = sample_logits(pair_logits, sub, self.sampling)
         toks_host = self._host(first_toks)
         lp0_host = None
         if self.logprobs:
-            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp = jax.nn.log_softmax(pair_logits.astype(jnp.float32), axis=-1)
             lp0_host = self._host(
                 jnp.take_along_axis(lp, first_toks[:, None], axis=-1)[:, 0])
-        row_stats = summarize_layer_stats_per_row(stats, len(pairs))
+        n_rows = 1 + max(row for *_, row in pairs)
+        row_stats = summarize_layer_stats_per_row(stats, n_rows)
         if self._state is None:
             self._state = self._materialize(state)
             if self.mesh is not None:
@@ -324,24 +380,62 @@ class ServingEngine:
             if self._track_counts:
                 self._counts = self._put(np.zeros(
                     (self.num_slots, self.mcfg.vocab_size), np.int32))
-        for row, (req, slot) in enumerate(pairs):
-            tok0 = int(toks_host[row])
+        for i, (req, slot, key, row) in enumerate(pairs):
+            tok0 = int(toks_host[i])
             req.ttft = time.time() - req.submitted_at
             req.prefill_stats = row_stats[row]
             self._state = self._insert(self._state, state, row, slot)
-            self._last_tokens = self._last_tokens.at[slot].set(tok0)
-            if self._track_counts:  # fresh counts for the slot's new request
-                self._counts = self._counts.at[slot].set(0)
-                self._counts = self._counts.at[slot, tok0].add(1)
-            self._slot_budget[slot] = req.max_new_tokens - 1
-            self._active_mask[slot] = True
-            _, reason = self._deliver(
-                slot, [tok0],
-                None if lp0_host is None else [float(lp0_host[row])])
-            if reason is not None:
-                self._finish(slot, reason)
-            elif self._slot_budget[slot] <= 0:
-                self._finish(slot, "length")
+            if (self._prefix_cache is not None
+                    and key not in self._prefix_cache):
+                row_i = jnp.asarray(row, jnp.int32)
+                self._prefix_cache[key] = (
+                    self._extract_row(logits, row_i),       # [1, V]
+                    self._extract_row(state, row_i),        # single-row state
+                    dict(row_stats[row]))
+                while len(self._prefix_cache) > self.prefix_cache_size:
+                    self._prefix_cache.popitem(last=False)  # LRU
+            self._activate(
+                req, slot, tok0,
+                None if lp0_host is None else float(lp0_host[i]))
+
+    def _complete_cached(self, req: Request, slot: int, entry):
+        """Admit a prefix-cache hit: no prefill — sample the first token
+        from the cached logits and insert the cached single-row state."""
+        logits_row, state_row, stats_row = entry
+        if self.sampling.is_greedy:
+            first = jnp.argmax(logits_row, axis=-1)  # [1]
+        else:
+            from ..ops.sampling import sample_logits
+
+            self._rng, sub = jax.random.split(self._rng)
+            first = sample_logits(logits_row, sub, self.sampling)
+        tok0 = int(self._host(first)[0])
+        lp0 = None
+        if self.logprobs:
+            lp = jax.nn.log_softmax(logits_row.astype(jnp.float32), axis=-1)
+            lp0 = float(self._host(
+                jnp.take_along_axis(lp, first[:, None], axis=-1))[0, 0])
+        req.ttft = time.time() - req.submitted_at
+        req.prefill_stats = dict(stats_row)
+        self._state = self._insert(self._state, state_row, 0, slot)
+        self._activate(req, slot, tok0, lp0)
+
+    def _activate(self, req: Request, slot: int, tok0: int,
+                  lp0: Optional[float]):
+        """Shared admission tail: arm the slot for decode and deliver the
+        first token (EOS/stop/budget rules apply to it too)."""
+        self._last_tokens = self._last_tokens.at[slot].set(tok0)
+        if self._track_counts:  # fresh counts for the slot's new request
+            self._counts = self._counts.at[slot].set(0)
+            self._counts = self._counts.at[slot, tok0].add(1)
+        self._slot_budget[slot] = req.max_new_tokens - 1
+        self._active_mask[slot] = True
+        _, reason = self._deliver(slot, [tok0],
+                                  None if lp0 is None else [lp0])
+        if reason is not None:
+            self._finish(slot, reason)
+        elif self._slot_budget[slot] <= 0:
+            self._finish(slot, "length")
 
     def _deliver(self, slot: int, new: List[int],
                  lps: Optional[List[float]]
@@ -453,7 +547,7 @@ class ServingEngine:
         if not done:
             return {"completed": 0}
         walls = [r.finished_at - r.submitted_at for r in done]
-        return {
+        out = {
             "completed": len(done),
             "avg_ttft_s": sum(r.ttft for r in done) / len(done),
             "avg_wall_s": sum(walls) / len(walls),
@@ -462,3 +556,8 @@ class ServingEngine:
                 sum(r.prefill_stats["avg_memory_savings"] for r in done)
                 / len(done)),
         }
+        if self._prefix_cache is not None:
+            out["prefix_cache"] = {"hits": self.prefix_hits,
+                                   "misses": self.prefix_misses,
+                                   "entries": len(self._prefix_cache)}
+        return out
