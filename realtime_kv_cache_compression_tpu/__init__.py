@@ -8,7 +8,8 @@ selective token propagation — fused into the prefill attention path and
 sharded over TPU meshes with GSPMD.
 """
 
-from .config import (CompressionConfig, ModelConfig, HIGH, MID, LOW,
+from .config import (CompressionConfig, ModelConfig, RopeScaling,
+                     HIGH, MID, LOW,
                      LLAMA2_7B, LLAMA2_13B, LLAMA3_8B, MISTRAL_7B,
                      TINYLLAMA_1_1B, reference_anchor_config,
                      tiny_test_model)
@@ -16,7 +17,8 @@ from .config import (CompressionConfig, ModelConfig, HIGH, MID, LOW,
 __version__ = "0.2.0"
 
 __all__ = [
-    "CompressionConfig", "ModelConfig", "HIGH", "MID", "LOW",
+    "CompressionConfig", "ModelConfig", "RopeScaling",
+    "HIGH", "MID", "LOW",
     "LLAMA2_7B", "LLAMA2_13B", "LLAMA3_8B", "MISTRAL_7B",
     "TINYLLAMA_1_1B", "reference_anchor_config", "tiny_test_model",
 ]

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 VALID_BITS = (2, 4, 8, 16)
 
@@ -291,11 +291,30 @@ class CompressionConfig:
         return None
 
 
+class RopeScaling(NamedTuple):
+    """RoPE frequency scaling for long-context checkpoints (hashable, so it
+    can live on the frozen ModelConfig and close over jit).
+
+    kind="linear": positions effectively divided by `factor` (HF "linear").
+    kind="llama3": Llama-3.1 scheme — low-frequency bands divided by
+      `factor`, high-frequency bands kept, smooth ramp between
+      `low_freq_factor` and `high_freq_factor` relative to
+      `original_max_position` (HF rope_type "llama3").
+    """
+
+    kind: str = "linear"
+    factor: float = 1.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position: int = 8192
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Decoder-family architecture description (RoPE + GQA + RMSNorm + gated
-    MLP). Covers Llama/TinyLlama/Mistral (defaults), Qwen2 (`qkv_bias`) and
-    Gemma (`hidden_act`/`rms_norm_offset`/`scale_embeddings`).
+    MLP). Covers Llama/TinyLlama/Mistral (defaults), Qwen2 (`qkv_bias`),
+    Gemma (`hidden_act`/`rms_norm_offset`/`scale_embeddings`), and
+    long-context variants via `rope_scaling` (Llama-3.1 / linear).
 
     Counterpart of the dims carried on the reference config
     (base_config.py:10-13) plus what HF's LlamaConfig adds.
@@ -318,6 +337,7 @@ class ModelConfig:
     hidden_act: str = "silu"      # gated-MLP activation; Gemma: "gelu_tanh"
     rms_norm_offset: float = 0.0  # Gemma: norms scale by (1 + w), offset=1
     scale_embeddings: bool = False  # Gemma: embeddings * sqrt(hidden_size)
+    rope_scaling: Optional[RopeScaling] = None  # long-context RoPE scaling
 
     @property
     def kv_dim(self) -> int:

@@ -135,11 +135,37 @@ def rmsnorm(x: Array, w: Array, eps: float) -> Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def rope_tables(positions: Array, head_dim: int, theta: float
-                ) -> Tuple[Array, Array]:
-    """cos/sin tables at given positions. positions: [B, S] → [B, S, D/2]."""
+def rope_tables(positions: Array, head_dim: int, theta: float,
+                scaling=None) -> Tuple[Array, Array]:
+    """cos/sin tables at given positions. positions: [B, S] → [B, S, D/2].
+
+    scaling: optional config.RopeScaling — "linear" divides all frequencies
+    by `factor`; "llama3" is the Llama-3.1 scheme (HF rope_type "llama3"):
+    wavelengths past original_max_position/low_freq_factor divide by
+    `factor`, wavelengths under original_max_position/high_freq_factor stay,
+    with a smooth ramp in between.
+    """
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
                                            dtype=jnp.float32) / head_dim))
+    if scaling is not None:
+        if scaling.kind == "linear":
+            inv_freq = inv_freq / scaling.factor
+        elif scaling.kind == "llama3":
+            wavelen = 2.0 * jnp.pi / inv_freq
+            low_wl = scaling.original_max_position / scaling.low_freq_factor
+            high_wl = (scaling.original_max_position
+                       / scaling.high_freq_factor)
+            smooth = ((scaling.original_max_position / wavelen
+                       - scaling.low_freq_factor)
+                      / (scaling.high_freq_factor - scaling.low_freq_factor))
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            blended = ((1.0 - smooth) * inv_freq / scaling.factor
+                       + smooth * inv_freq)
+            inv_freq = jnp.where(wavelen > low_wl, inv_freq / scaling.factor,
+                                 jnp.where(wavelen < high_wl, inv_freq,
+                                           blended))
+        else:
+            raise ValueError(f"unknown rope scaling kind {scaling.kind!r}")
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,S,D/2]
     return jnp.cos(angles), jnp.sin(angles)
 
@@ -325,7 +351,8 @@ def prefill_compressed(
     else:
         token_valid = None
         prompt_lens = None
-    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+            cfg.rope_scaling)
 
     h, caches, recents, pools, all_stats = prefill_layers_compressed(
         params["layers"], 0, h, positions, cos, sin, prompt_len, cfg, ccfg,
@@ -368,7 +395,8 @@ def forward_logits(params: Params, input_ids: Array, cfg: ModelConfig,
     h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype),
                       cfg=cfg)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+            cfg.rope_scaling)
     for layer in params["layers"]:
         x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, x, cfg)
@@ -412,7 +440,8 @@ def prefill_uncompressed(
     h = _embed_lookup(params["embed"], input_ids, jnp.dtype(cfg.dtype),
                       cfg=cfg)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+            cfg.rope_scaling)
     ks, vs = [], []
     for layer in params["layers"]:
         x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
@@ -535,7 +564,8 @@ def decode_step(
     h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype),
                       cfg=cfg)[:, None]  # [B,1,H]
     q_pos = state.position[:, None]  # [B, 1]
-    cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta,
+            cfg.rope_scaling)
 
     h, new_recents, new_pools = decode_layers_step(
         params["layers"], h, state.caches, state.recents, state.pools,
@@ -656,7 +686,8 @@ def decode_step_uncompressed(
     h = _embed_lookup(params["embed"], token, jnp.dtype(cfg.dtype),
                       cfg=cfg)[:, None]
     q_pos = position[:, None]
-    cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta,
+            cfg.rope_scaling)
     pos_all = jnp.broadcast_to(jnp.arange(m)[None], (b, m))
     new_ks, new_vs = [], []
     bidx = jnp.arange(b)

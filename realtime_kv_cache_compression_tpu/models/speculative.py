@@ -108,7 +108,8 @@ def verify_forward(params: Params, tokens: Array, state: DecodeState,
     h = _embed_lookup(params["embed"], tokens, jnp.dtype(cfg.dtype),
                       cfg=cfg)
     q_pos = state.position[:, None] + jnp.arange(t)[None]          # [B, T]
-    cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(q_pos, cfg.head_dim, cfg.rope_theta,
+            cfg.rope_scaling)
     have_pools = bool(state.pools) and state.pools[0] is not None
     blocks: List[Tuple[Array, Array]] = []
     blk_valid = jnp.ones((b, t), bool)

@@ -16,14 +16,35 @@ from typing import Any, Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig
+from ..config import ModelConfig, RopeScaling
+
+
+def _rope_scaling_from_hf(hf: Dict[str, Any]) -> Optional[RopeScaling]:
+    """Parse HF `rope_scaling` (rope_type "linear" or "llama3"/Llama-3.1)."""
+    rs = hf.get("rope_scaling")
+    if not rs:
+        return None
+    kind = rs.get("rope_type") or rs.get("type")
+    if kind == "linear":
+        return RopeScaling(kind="linear", factor=float(rs["factor"]))
+    if kind == "llama3":
+        return RopeScaling(
+            kind="llama3", factor=float(rs["factor"]),
+            low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            original_max_position=int(
+                rs.get("original_max_position_embeddings", 8192)))
+    if kind == "default":
+        return None
+    raise ValueError(f"unsupported rope_scaling type {kind!r}")
 
 
 def config_from_hf(checkpoint_dir: str) -> ModelConfig:
     """Build a ModelConfig from an HF config.json.
 
     Families: Llama/TinyLlama/Mistral (defaults), Qwen2 (projection biases),
-    Gemma v1 (GeGLU + (1+w) norms + scaled embeddings)."""
+    Gemma v1 (GeGLU + (1+w) norms + scaled embeddings); long-context
+    checkpoints via rope_scaling (linear / llama3)."""
     with open(os.path.join(checkpoint_dir, "config.json")) as f:
         hf = json.load(f)
     num_heads = hf["num_attention_heads"]
@@ -50,6 +71,7 @@ def config_from_hf(checkpoint_dir: str) -> ModelConfig:
         hidden_act=hidden_act,
         rms_norm_offset=1.0 if is_gemma else 0.0,
         scale_embeddings=is_gemma,
+        rope_scaling=_rope_scaling_from_hf(hf),
     )
 
 

@@ -137,7 +137,8 @@ def pipeline_lm_loss(stacked_params: Params, input_ids: Array,
         idx = jax.lax.axis_index(PIPE_AXIS)
         n_ticks = n_microbatches + n_stages - 1
         positions = jnp.broadcast_to(jnp.arange(s)[None], (mb, s))
-        cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                                     cfg.rope_scaling)
 
         def tick(carry, t):
             act, loss_acc = carry
@@ -287,7 +288,8 @@ class PipelineInference:
         h = llama._embed_lookup(self.embed_first, ids, jnp.dtype(cfg.dtype),
                                 cfg=cfg)
         positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-        cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                                     cfg.rope_scaling)
         all_stats: List = []
         for i in range(self.n_stages):
             dev = self.devices[i]
@@ -319,7 +321,8 @@ class PipelineInference:
                                     jnp.dtype(cfg.dtype), cfg=cfg)[:, None]
             q_pos = self._position[:, None]
             cos, sin = llama.rope_tables(q_pos, cfg.head_dim,
-                                         cfg.rope_theta)
+                                         cfg.rope_theta,
+                                         cfg.rope_scaling)
             for i in range(self.n_stages):
                 dev = self.devices[i]
                 h = jax.device_put(h, dev)

@@ -100,7 +100,8 @@ def seq_parallel_prefill(
         positions = q_off + jnp.broadcast_to(jnp.arange(s_loc)[None],
                                              (b, s_loc))
         h = llama._embed_lookup(params["embed"], ids_loc, dtype, cfg=cfg)
-        cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        cos, sin = llama.rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                                     cfg.rope_scaling)
 
         caches, recents, pools, all_stats = [], [], [], []
         for layer_idx, layer in enumerate(params["layers"]):

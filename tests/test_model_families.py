@@ -20,6 +20,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from realtime_kv_cache_compression_tpu import (CompressionConfig,  # noqa: E402
                                                ModelConfig)
+from realtime_kv_cache_compression_tpu import RopeScaling as rtc_rope  # noqa: E402
 from realtime_kv_cache_compression_tpu.models import llama  # noqa: E402
 from realtime_kv_cache_compression_tpu.models.weights import (  # noqa: E402
     params_from_tensors)
@@ -115,6 +116,91 @@ class TestHFParity:
                           hidden_act="gelu_tanh", rms_norm_offset=1.0,
                           scale_embeddings=True, dtype="float32")
         _compare(model, cfg, seed=2)
+
+
+class TestRopeScaling:
+    """Long-context RoPE scaling parity vs HF (linear and Llama-3.1)."""
+
+    def _llama_cfg(self, rope_scaling):
+        return transformers.LlamaConfig(
+            hidden_size=DIMS["hidden_size"],
+            intermediate_size=DIMS["intermediate_size"],
+            num_hidden_layers=DIMS["num_layers"],
+            num_attention_heads=DIMS["num_heads"],
+            num_key_value_heads=DIMS["num_kv_heads"],
+            head_dim=DIMS["head_dim"], vocab_size=DIMS["vocab_size"],
+            max_position_embeddings=DIMS["max_position_embeddings"],
+            rms_norm_eps=1e-5, tie_word_embeddings=False,
+            rope_scaling=rope_scaling)
+
+    def test_linear_scaling_matches_hf(self):
+        torch.manual_seed(3)
+        model = transformers.LlamaForCausalLM(
+            self._llama_cfg({"rope_type": "linear", "factor": 2.0}))
+        cfg = ModelConfig(**DIMS, dtype="float32",
+                          rope_scaling=rtc_rope(kind="linear", factor=2.0))
+        _compare(model, cfg, seed=3)
+
+    def test_llama3_scaling_matches_hf(self):
+        torch.manual_seed(4)
+        rs = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+              "high_freq_factor": 4.0,
+              "original_max_position_embeddings": 64}
+        model = transformers.LlamaForCausalLM(self._llama_cfg(rs))
+        cfg = ModelConfig(**DIMS, dtype="float32",
+                          rope_scaling=rtc_rope(
+                              kind="llama3", factor=8.0, low_freq_factor=1.0,
+                              high_freq_factor=4.0,
+                              original_max_position=64))
+        _compare(model, cfg, seed=4)
+
+    def test_scaling_changes_logits(self):
+        # The scaled model must actually differ from the unscaled one
+        # (guards against the scaling silently not being applied).
+        torch.manual_seed(5)
+        model = transformers.LlamaForCausalLM(self._llama_cfg(None))
+        cfg_plain = ModelConfig(**DIMS, dtype="float32")
+        cfg_scaled = ModelConfig(**DIMS, dtype="float32",
+                                 rope_scaling=rtc_rope(kind="linear",
+                                                       factor=4.0))
+        params = _hf_to_params(model, cfg_plain)
+        ids = jnp.asarray(np.random.RandomState(5).randint(
+            0, cfg_plain.vocab_size, size=(1, 24)))
+        a = llama.forward_logits(params, ids, cfg_plain)
+        b = llama.forward_logits(params, ids, cfg_scaled)
+        assert float(jnp.abs(a - b).max()) > 1e-3
+
+    def test_config_from_hf_parses_rope_scaling(self, tmp_path):
+        import json
+
+        from realtime_kv_cache_compression_tpu.models.weights import (
+            config_from_hf)
+        hf = dict(vocab_size=128, hidden_size=64, intermediate_size=112,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, head_dim=16,
+                  max_position_embeddings=131072, rope_theta=500000.0,
+                  rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                                "low_freq_factor": 1.0,
+                                "high_freq_factor": 4.0,
+                                "original_max_position_embeddings": 8192})
+        (tmp_path / "config.json").write_text(json.dumps(hf))
+        cfg = config_from_hf(str(tmp_path))
+        assert cfg.rope_scaling == rtc_rope(
+            kind="llama3", factor=8.0, low_freq_factor=1.0,
+            high_freq_factor=4.0, original_max_position=8192)
+
+    def test_compressed_generate_with_scaling(self):
+        cfg = ModelConfig(**dict(DIMS, dtype="float32"),
+                          rope_scaling=rtc_rope(
+                              kind="llama3", factor=8.0,
+                              original_max_position=64))
+        ccfg = CompressionConfig(num_layers=cfg.num_layers)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0,
+                                 cfg.vocab_size)
+        out1, _ = llama.generate(params, ids, cfg, ccfg, max_new_tokens=6)
+        out2, _ = llama.generate(params, ids, cfg, ccfg, max_new_tokens=6)
+        assert out1.shape == (2, 6) and jnp.array_equal(out1, out2)
 
 
 class TestCompressedPathNewFamilies:
