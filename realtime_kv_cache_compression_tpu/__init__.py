@@ -11,7 +11,7 @@ sharded over TPU meshes with GSPMD.
 from .config import (CompressionConfig, ModelConfig, RopeScaling,
                      HIGH, MID, LOW,
                      LLAMA2_7B, LLAMA2_13B, LLAMA3_8B, MISTRAL_7B,
-                     TINYLLAMA_1_1B, reference_anchor_config,
+                     MIXTRAL_8X7B, TINYLLAMA_1_1B, reference_anchor_config,
                      tiny_test_model)
 
 __version__ = "0.2.0"
@@ -20,5 +20,6 @@ __all__ = [
     "CompressionConfig", "ModelConfig", "RopeScaling",
     "HIGH", "MID", "LOW",
     "LLAMA2_7B", "LLAMA2_13B", "LLAMA3_8B", "MISTRAL_7B",
-    "TINYLLAMA_1_1B", "reference_anchor_config", "tiny_test_model",
+    "MIXTRAL_8X7B", "TINYLLAMA_1_1B", "reference_anchor_config",
+    "tiny_test_model",
 ]

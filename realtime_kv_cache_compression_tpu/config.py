@@ -338,6 +338,13 @@ class ModelConfig:
     rms_norm_offset: float = 0.0  # Gemma: norms scale by (1 + w), offset=1
     scale_embeddings: bool = False  # Gemma: embeddings * sqrt(hidden_size)
     rope_scaling: Optional[RopeScaling] = None  # long-context RoPE scaling
+    # Mixture-of-experts (Mixtral family). num_experts == 0 → dense MLP.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    # MoE execution strategy (ops/moe.py): "auto" picks gather for decode-
+    # sized token counts and ragged grouped matmuls otherwise; "dense" is
+    # the GSPMD expert-parallel form (expert axis sharded over `model`).
+    moe_impl: str = "auto"
 
     @property
     def kv_dim(self) -> int:
@@ -384,6 +391,12 @@ GEMMA_2B = ModelConfig(vocab_size=256000, hidden_size=2048,
                        max_position_embeddings=8192, rms_norm_eps=1e-6,
                        tie_word_embeddings=True, hidden_act="gelu_tanh",
                        rms_norm_offset=1.0, scale_embeddings=True)
+# Mixtral: Mistral-shaped attention + 8-expert top-2 sparse MLP.
+MIXTRAL_8X7B = ModelConfig(vocab_size=32000, hidden_size=4096,
+                           intermediate_size=14336, num_layers=32,
+                           num_heads=32, num_kv_heads=8, head_dim=128,
+                           max_position_embeddings=32768, rope_theta=1e6,
+                           num_experts=8, num_experts_per_tok=2)
 GEMMA_7B = ModelConfig(vocab_size=256000, hidden_size=3072,
                        intermediate_size=24576, num_layers=28,
                        num_heads=16, num_kv_heads=16, head_dim=256,

@@ -68,12 +68,22 @@ def init_params(key: Array, cfg: ModelConfig) -> Params:
             "wk": dense(next(keys), h, (h, kvd)),
             "wv": dense(next(keys), h, (h, kvd)),
             "wo": dense(next(keys), qd, (qd, h)),
-            "w_gate": dense(next(keys), h, (h, i)),
-            "w_up": dense(next(keys), h, (h, i)),
-            "w_down": dense(next(keys), i, (i, h)),
             "input_norm": jnp.ones((h,), dtype),
             "post_norm": jnp.ones((h,), dtype),
         }
+        if cfg.num_experts:  # Mixtral-style sparse MLP (ops/moe.py)
+            layer["moe"] = {
+                "gate": dense(next(keys), h, (h, cfg.num_experts)),
+                "w_gate": dense(next(keys), h, (cfg.num_experts, h, i)),
+                "w_up": dense(next(keys), h, (cfg.num_experts, h, i)),
+                "w_down": dense(next(keys), i, (cfg.num_experts, i, h)),
+            }
+        else:
+            layer.update({
+                "w_gate": dense(next(keys), h, (h, i)),
+                "w_up": dense(next(keys), h, (h, i)),
+                "w_down": dense(next(keys), i, (i, h)),
+            })
         if cfg.qkv_bias:  # random (not zero) so tests exercise the adds
             layer["bq"] = dense(next(keys), h, (qd,))
             layer["bk"] = dense(next(keys), h, (kvd,))
@@ -205,6 +215,9 @@ def _act(x: Array, name: str) -> Array:
 
 
 def _mlp(layer: Params, x: Array, cfg: Optional[ModelConfig] = None) -> Array:
+    if "moe" in layer:  # Mixtral-style sparse MLP
+        from ..ops.moe import moe_mlp
+        return moe_mlp(layer["moe"], x, cfg)
     act = cfg.hidden_act if cfg is not None else "silu"
     return _matmul(_act(_matmul(x, layer["w_gate"]), act)
                    * _matmul(x, layer["w_up"]), layer["w_down"])

@@ -72,6 +72,9 @@ def config_from_hf(checkpoint_dir: str) -> ModelConfig:
         rms_norm_offset=1.0 if is_gemma else 0.0,
         scale_embeddings=is_gemma,
         rope_scaling=_rope_scaling_from_hf(hf),
+        # Mixtral-style sparse MLP (model_type "mixtral")
+        num_experts=hf.get("num_local_experts", 0),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
     )
 
 
@@ -121,12 +124,29 @@ def params_from_tensors(get, cfg: ModelConfig, target) -> Dict[str, Any]:
             "wk": w(p + "self_attn.k_proj.weight"),
             "wv": w(p + "self_attn.v_proj.weight"),
             "wo": w(p + "self_attn.o_proj.weight"),
-            "w_gate": w(p + "mlp.gate_proj.weight"),
-            "w_up": w(p + "mlp.up_proj.weight"),
-            "w_down": w(p + "mlp.down_proj.weight"),
             "input_norm": norm(p + "input_layernorm.weight"),
             "post_norm": norm(p + "post_attention_layernorm.weight"),
         }
+        if cfg.num_experts:
+            # Mixtral: block_sparse_moe.{gate, experts.j.{w1,w3,w2}};
+            # w1=gate [I,H], w3=up [I,H], w2=down [H,I] → stacked
+            # [E,H,I]/[E,I,H] after the [out,in]→[in,out] transpose.
+            m = p + "block_sparse_moe."
+            layer["moe"] = {
+                "gate": w(m + "gate.weight"),
+                "w_gate": jnp.stack([w(m + f"experts.{j}.w1.weight")
+                                     for j in range(cfg.num_experts)]),
+                "w_up": jnp.stack([w(m + f"experts.{j}.w3.weight")
+                                   for j in range(cfg.num_experts)]),
+                "w_down": jnp.stack([w(m + f"experts.{j}.w2.weight")
+                                     for j in range(cfg.num_experts)]),
+            }
+        else:
+            layer.update({
+                "w_gate": w(p + "mlp.gate_proj.weight"),
+                "w_up": w(p + "mlp.up_proj.weight"),
+                "w_down": w(p + "mlp.down_proj.weight"),
+            })
         if cfg.qkv_bias:
             layer["bq"] = jnp.asarray(
                 get(p + "self_attn.q_proj.bias")).astype(target)

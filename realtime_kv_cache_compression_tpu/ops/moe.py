@@ -1,0 +1,153 @@
+"""Mixture-of-Experts MLP (Mixtral-style) — TPU-native grouped matmuls.
+
+No reference counterpart (the reference is dense-Llama-only,
+/root/reference/src/models/modified_llama.py); this extends the model layer
+to the Mixtral family so compressed-KV serving covers sparse checkpoints.
+The attention/compression path is untouched — MoE only replaces the MLP.
+
+Routing follows HF Mixtral (MixtralSparseMoeBlock): softmax over all expert
+logits in float32, top-k, then renormalize the kept weights.
+
+Three execution strategies, all static-shape and jit-safe:
+
+* ``ragged`` — sort token-slot rows by expert id and run ONE grouped matmul
+  per projection via `jax.lax.ragged_dot` ([N*k, H] x [E, H, I] with
+  per-expert group sizes). FLOPs are exactly the routed work; the MXU sees
+  large contiguous groups. The default for prefill-sized token counts.
+* ``gather`` — per-token expert-weight gather + batched einsum. For decode
+  (a handful of tokens) this reads only the k routed experts' weights from
+  HBM instead of streaming all E; at batch 1 that is a 4x weight-traffic
+  saving for Mixtral (k=2, E=8).
+* ``dense`` — every expert processes every token, combined with the sparse
+  routing weights. E/k x more FLOPs, but purely einsum-based, so under
+  GSPMD with the expert axis sharded over `model` it IS expert parallelism:
+  each device computes only its local experts and the combine contraction
+  psums across the axis (see parallel/sharding.param_specs). Used for
+  jit+GSPMD expert-parallel execution and as the universal fallback.
+
+True capacity-based expert parallelism (per-device FLOPs ~ routed/P) lives
+in `parallel/expert_parallel.py` on top of the same router.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Below this many tokens the gather path reads less expert-weight HBM than
+# a grouped matmul over all experts (decode / tiny prefill).
+_GATHER_MAX_TOKENS = 16
+
+
+def router_topk(x2: Array, gate: Array, num_experts_per_tok: int,
+                norm_topk: bool = True) -> Tuple[Array, Array]:
+    """Top-k routing (HF Mixtral semantics).
+
+    Args:
+      x2: [N, H] tokens.
+      gate: [H, E] router weights.
+
+    Returns (weights [N, k] float32, expert ids [N, k] int32).
+    """
+    logits = x2.astype(jnp.float32) @ gate.astype(jnp.float32)  # [N, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    w, ids = jax.lax.top_k(probs, num_experts_per_tok)
+    if norm_topk:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return w, ids.astype(jnp.int32)
+
+
+def _act(x: Array, name: str) -> Array:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown hidden_act {name!r}")
+
+
+def _moe_ragged(moe: Dict[str, Array], x2: Array, w: Array, ids: Array,
+                num_experts: int, act: str) -> Array:
+    """Sorted grouped-matmul path: one `ragged_dot` per projection."""
+    n, k = ids.shape
+    flat_ids = ids.reshape(-1)                       # [N*k]
+    order = jnp.argsort(flat_ids)                    # stable: ties keep order
+    xs = jnp.repeat(x2, k, axis=0)[order]            # rows grouped by expert
+    group_sizes = jnp.bincount(flat_ids, length=num_experts
+                               ).astype(jnp.int32)
+    h1 = jax.lax.ragged_dot(xs, moe["w_gate"], group_sizes)
+    h2 = jax.lax.ragged_dot(xs, moe["w_up"], group_sizes)
+    ys = jax.lax.ragged_dot(_act(h1, act) * h2, moe["w_down"], group_sizes)
+    inv = jnp.argsort(order)                         # unsort
+    y = ys[inv].reshape(n, k, -1)
+    return jnp.sum(y * w[..., None].astype(y.dtype), axis=1)
+
+
+def _moe_gather(moe: Dict[str, Array], x2: Array, w: Array, ids: Array,
+                act: str) -> Array:
+    """Per-token expert gather: HBM reads only the routed experts."""
+    wg = moe["w_gate"][ids]                          # [N, k, H, I]
+    wu = moe["w_up"][ids]
+    wd = moe["w_down"][ids]                          # [N, k, I, H]
+    h1 = jnp.einsum("nh,nkhi->nki", x2, wg)
+    h2 = jnp.einsum("nh,nkhi->nki", x2, wu)
+    y = jnp.einsum("nki,nkih->nkh", _act(h1, act) * h2, wd)
+    return jnp.sum(y * w[..., None].astype(y.dtype), axis=1)
+
+
+def _moe_dense(moe: Dict[str, Array], x2: Array, w: Array, ids: Array,
+               num_experts: int, act: str) -> Array:
+    """All-experts einsum path (GSPMD expert parallelism when the expert
+    axis is sharded: the final contraction over `e` becomes a psum)."""
+    n = x2.shape[0]
+    combine = jnp.zeros((n, num_experts), x2.dtype)
+    combine = combine.at[jnp.arange(n)[:, None], ids].add(
+        w.astype(x2.dtype))                          # [N, E] sparse weights
+    h1 = jnp.einsum("nh,ehi->nei", x2, moe["w_gate"])
+    h2 = jnp.einsum("nh,ehi->nei", x2, moe["w_up"])
+    y = jnp.einsum("nei,eih->neh", _act(h1, act) * h2, moe["w_down"])
+    return jnp.einsum("ne,neh->nh", combine, y)
+
+
+def moe_mlp(moe: Dict[str, Array], x: Array, cfg,
+            impl: Optional[str] = None) -> Array:
+    """Sparse MoE MLP over [..., H] hidden states.
+
+    `moe` holds `gate` [H, E], `w_gate`/`w_up` [E, H, I], `w_down` [E, I, H]
+    (see models.llama.init_params / models.weights for the layouts).
+    `impl` overrides cfg.moe_impl ("auto" | "ragged" | "gather" | "dense").
+    """
+    impl = impl or getattr(cfg, "moe_impl", "auto")
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    n = x2.shape[0]
+    w, ids = router_topk(x2, moe["gate"], cfg.num_experts_per_tok)
+    if impl == "auto":
+        impl = "gather" if n <= _GATHER_MAX_TOKENS else "ragged"
+    if impl == "ragged":
+        out = _moe_ragged(moe, x2, w, ids, cfg.num_experts, cfg.hidden_act)
+    elif impl == "gather":
+        out = _moe_gather(moe, x2, w, ids, cfg.hidden_act)
+    elif impl == "dense":
+        out = _moe_dense(moe, x2, w, ids, cfg.num_experts, cfg.hidden_act)
+    else:
+        raise ValueError(f"unknown moe impl {impl!r}")
+    return out.reshape(shape).astype(x.dtype)
+
+
+def moe_mlp_reference(moe: Dict[str, Array], x: Array, cfg) -> Array:
+    """Slow per-expert masked loop — the golden oracle for tests."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    w, ids = router_topk(x2, moe["gate"], cfg.num_experts_per_tok)
+    out = jnp.zeros_like(x2, dtype=jnp.float32)
+    for e in range(cfg.num_experts):
+        h1 = x2 @ moe["w_gate"][e]
+        h2 = x2 @ moe["w_up"][e]
+        y = (_act(h1, cfg.hidden_act) * h2) @ moe["w_down"][e]  # [N, H]
+        weight = jnp.sum(jnp.where(ids == e, w, 0.0), axis=1)  # [N]
+        out = out + weight[:, None] * y.astype(jnp.float32)
+    return out.reshape(shape).astype(x.dtype)

@@ -1,3 +1,4 @@
+from .expert_parallel import ep_moe_mlp
 from .mesh import DATA_AXIS, MODEL_AXIS, create_mesh, single_device_mesh
 from .multihost import (global_params, global_put, launch_local_sim,
                         run_spmd_check)
@@ -22,4 +23,5 @@ __all__ = [
     "constrain_tier_cache", "data_sharding", "param_specs", "shard_params",
     "tier_cache_specs",
     "global_params", "global_put", "launch_local_sim", "run_spmd_check",
+    "ep_moe_mlp",
 ]

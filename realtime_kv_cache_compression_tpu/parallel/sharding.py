@@ -31,12 +31,30 @@ def param_specs(cfg: ModelConfig) -> Params:
         "wk": P(None, MODEL_AXIS),        # [H, Hkv*D]
         "wv": P(None, MODEL_AXIS),
         "wo": P(MODEL_AXIS, None),        # [Hq*D, H] — row-sharded (psum)
-        "w_gate": P(None, MODEL_AXIS),    # [H, I]
-        "w_up": P(None, MODEL_AXIS),
-        "w_down": P(MODEL_AXIS, None),    # [I, H]
         "input_norm": P(),
         "post_norm": P(),
     }
+    if cfg.qkv_bias:
+        layer.update({"bq": P(MODEL_AXIS), "bk": P(MODEL_AXIS),
+                      "bv": P(MODEL_AXIS)})  # follow the column sharding
+    if cfg.num_experts:
+        # Expert parallelism: the expert axis shards over `model`. With
+        # moe_impl="dense" each device computes only its local experts and
+        # the combine contraction over `e` psums across the axis; the
+        # capacity-routed shard_map path (parallel/expert_parallel.py) uses
+        # the same placement.
+        layer["moe"] = {
+            "gate": P(),                          # [H, E] tiny, replicated
+            "w_gate": P(MODEL_AXIS, None, None),  # [E, H, I]
+            "w_up": P(MODEL_AXIS, None, None),
+            "w_down": P(MODEL_AXIS, None, None),  # [E, I, H]
+        }
+    else:
+        layer.update({
+            "w_gate": P(None, MODEL_AXIS),    # [H, I]
+            "w_up": P(None, MODEL_AXIS),
+            "w_down": P(MODEL_AXIS, None),    # [I, H]
+        })
     specs = {
         "embed": P(MODEL_AXIS, None),     # [V, H] — vocab-sharded
         "layers": [dict(layer) for _ in range(cfg.num_layers)],
