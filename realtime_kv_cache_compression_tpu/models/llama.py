@@ -477,6 +477,185 @@ def prefill_uncompressed(
 
 
 # ---------------------------------------------------------------------------
+# Chunked prefill (serving: interleaves prompt processing with decode)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ChunkedPrefillState:
+    """Carry between prefill chunks: per-layer K/V buffers filled up to
+    `offset`, the per-layer prompt-mass side-channel, and the hidden state
+    at each row's final position (captured by the chunk containing it)."""
+
+    k_bufs: Tuple[Array, ...]   # per layer [B, S, H_kv, D]
+    v_bufs: Tuple[Array, ...]
+    masses: Tuple[Array, ...]   # per layer [B, S] float32
+    last_h: Array               # [B, hidden]
+    offset: Array               # scalar int32: next write position
+
+
+def prefill_chunked_init(batch: int, seq_len: int, cfg: ModelConfig
+                         ) -> ChunkedPrefillState:
+    """Zero-initialized chunked-prefill carry for a [batch, seq_len] bucket."""
+    dtype = jnp.dtype(cfg.dtype)
+    kv = lambda: jnp.zeros((batch, seq_len, cfg.num_kv_heads, cfg.head_dim),
+                           dtype)
+    return ChunkedPrefillState(
+        k_bufs=tuple(kv() for _ in range(cfg.num_layers)),
+        v_bufs=tuple(kv() for _ in range(cfg.num_layers)),
+        masses=tuple(jnp.zeros((batch, seq_len), jnp.float32)
+                     for _ in range(cfg.num_layers)),
+        last_h=jnp.zeros((batch, cfg.hidden_size), dtype),
+        offset=jnp.zeros((), jnp.int32),
+    )
+
+
+def prefill_chunked_step(
+    params: Params,
+    chunk_ids: Array,
+    st: ChunkedPrefillState,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+    lengths: Optional[Array] = None,
+) -> ChunkedPrefillState:
+    """Advance the prefill by one chunk of tokens.
+
+    The chunk's offset is carried in the state (traced), so ONE compiled
+    program serves every chunk of a bucket — the serving engine dispatches
+    it between decode chunks to bound head-of-line blocking by the chunk
+    time instead of the full-prompt time (vLLM-style chunked prefill).
+    Per-row softmax over the position-ordered buffer is identical to
+    full-sequence causal attention, so caches, masses, and logits match the
+    one-shot `prefill_compressed` (ops.attention.chunk_attention docstring).
+    """
+    from ..ops.attention import chunk_attention_with_prompt_mass
+
+    b, c = chunk_ids.shape
+    s_total = st.k_bufs[0].shape[1]
+    prompt_len = ccfg.prompt_length(s_total)
+    prompt_lens = None
+    if lengths is not None:
+        prompt_lens = jnp.clip(
+            (lengths.astype(jnp.float32) * ccfg.prompt_frac).astype(
+                jnp.int32), 1, prompt_len)
+
+    h = _embed_lookup(params["embed"], chunk_ids, jnp.dtype(cfg.dtype),
+                      cfg=cfg)
+    q_pos = st.offset + jnp.arange(c)
+    positions = jnp.broadcast_to(q_pos[None], (b, c))
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                           cfg.rope_scaling)
+
+    k_bufs, v_bufs, masses = [], [], []
+    for li, layer in enumerate(params["layers"]):
+        x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, x, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_buf = jax.lax.dynamic_update_slice(
+            st.k_bufs[li], k.astype(st.k_bufs[li].dtype),
+            (0, st.offset, 0, 0))
+        v_buf = jax.lax.dynamic_update_slice(
+            st.v_bufs[li], v.astype(st.v_bufs[li].dtype),
+            (0, st.offset, 0, 0))
+        attn_out, mass_c = chunk_attention_with_prompt_mass(
+            q, k_buf, v_buf, st.offset, prompt_len, prompt_lens=prompt_lens)
+        k_bufs.append(k_buf)
+        v_bufs.append(v_buf)
+        masses.append(jax.lax.dynamic_update_slice(
+            st.masses[li], mass_c, (0, st.offset)))
+        h = h + _matmul(attn_out.reshape(b, c, cfg.q_dim), layer["wo"])
+        h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps),
+                     cfg)
+
+    # Capture the hidden state at each row's final position if it falls in
+    # this chunk (rows keep their previous capture otherwise).
+    last_pos = (lengths - 1 if lengths is not None
+                else jnp.full((b,), s_total - 1, jnp.int32))
+    in_chunk = (last_pos >= st.offset) & (last_pos < st.offset + c)
+    idx = jnp.clip(last_pos - st.offset, 0, c - 1)
+    cand = jnp.take_along_axis(h, idx[:, None, None], axis=1)[:, 0]
+    last_h = jnp.where(in_chunk[:, None], cand, st.last_h)
+
+    return ChunkedPrefillState(k_bufs=tuple(k_bufs), v_bufs=tuple(v_bufs),
+                               masses=tuple(masses), last_h=last_h,
+                               offset=st.offset + c)
+
+
+def prefill_chunked_finish(
+    params: Params,
+    st: ChunkedPrefillState,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+    max_decode_len: int = 128,
+    lengths: Optional[Array] = None,
+    mesh=None,
+) -> Tuple[Array, DecodeState, List[Dict[str, Array]]]:
+    """Compress the accumulated buffers into the decode state + last logits.
+
+    Compression happens ONCE over the complete K/V + prompt mass, exactly as
+    the one-shot prefill's per-layer `compress_layer_kv` — chunking changes
+    when attention math runs, not what gets compressed."""
+    b, s = st.masses[0].shape
+    token_valid = None
+    prompt_lens = None
+    if lengths is not None:
+        token_valid = jnp.arange(s)[None] < lengths[:, None]
+        prompt_lens = jnp.clip(
+            (lengths.astype(jnp.float32) * ccfg.prompt_frac).astype(
+                jnp.int32), 1, ccfg.prompt_length(s))
+    caches, recents, pools, all_stats = [], [], [], []
+    for li in range(cfg.num_layers):
+        cache, stats = compress_layer_kv(
+            st.k_bufs[li], st.v_bufs[li], st.masses[li], li, ccfg, cfg,
+            token_valid=token_valid, prompt_lens=prompt_lens)
+        caches.append(cache)
+        all_stats.append(stats)
+        recents.append(init_recent_cache(b, max_decode_len, cfg))
+        pools.append(init_decode_pool(b, max_decode_len, ccfg, cfg))
+    logits = logits_from_hidden(params, st.last_h, cfg)
+    end_pos = (lengths.astype(jnp.int32) if lengths is not None
+               else jnp.full((b,), s, jnp.int32))
+    state = DecodeState(caches=tuple(caches), recents=tuple(recents),
+                        position=end_pos, pools=tuple(pools))
+    if mesh is not None:
+        from ..parallel.sharding import constrain_decode_state
+        state = constrain_decode_state(state, mesh)
+    return logits, state, all_stats
+
+
+def prefill_compressed_chunked(
+    params: Params,
+    input_ids: Array,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+    chunk_size: int,
+    max_decode_len: int = 128,
+    lengths: Optional[Array] = None,
+    mesh=None,
+    jit_steps: bool = True,
+) -> Tuple[Array, DecodeState, List[Dict[str, Array]]]:
+    """Convenience driver: init → chunk steps → finish.
+
+    Equivalent to `prefill_compressed` (same caches/logits to fp tolerance);
+    the serving engine calls the three phases itself to interleave chunks
+    with decode."""
+    b, s = input_ids.shape
+    if s % chunk_size:
+        raise ValueError(f"seq len {s} not a multiple of chunk {chunk_size}")
+    st = prefill_chunked_init(b, s, cfg)
+    step = (jax.jit(lambda p, i, t, n: prefill_chunked_step(
+        p, i, t, cfg, ccfg, lengths=n)) if jit_steps
+        else (lambda p, i, t, n: prefill_chunked_step(
+            p, i, t, cfg, ccfg, lengths=n)))
+    for off in range(0, s, chunk_size):
+        st = step(params, input_ids[:, off:off + chunk_size], st, lengths)
+    return prefill_chunked_finish(params, st, cfg, ccfg,
+                                  max_decode_len=max_decode_len,
+                                  lengths=lengths, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
 

@@ -121,3 +121,53 @@ def attention_over_tokens(
     any_valid = mask.any(axis=-1)[:, :, None, None, None]  # [B, Sq, 1, 1, 1]
     out = jnp.where(any_valid, out, 0.0)
     return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+
+def chunk_attention_with_prompt_mass(
+    q: Array,
+    k_buf: Array,
+    v_buf: Array,
+    q_offset: Array,
+    prompt_len: int,
+    prompt_lens: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Rectangular causal attention of one prefill CHUNK over the KV buffer.
+
+    The chunked-prefill building block (models.llama.prefill_chunked_step):
+    queries are the chunk's tokens at positions q_offset..q_offset+c-1; keys
+    are the position-ordered prefill buffer [B, S, ...] whose rows past the
+    current fill are excluded by causality (they hold later positions).
+    Per-row softmax is identical to full-sequence causal attention, so the
+    emitted prompt mass matches `prefill_attention_with_prompt_mass` exactly
+    (token_importance.py:41-45 semantics, GQA-aware).
+
+    Args:
+      q: [B, c, H_q, D] chunk queries (already RoPE'd).
+      k_buf, v_buf: [B, S, H_kv, D] buffers with this chunk already written.
+      q_offset: scalar int32 — position of the chunk's first token (traced).
+      prompt_len: static prompt prefix length P.
+      prompt_lens: optional [B] dynamic per-row prompt lengths <= P.
+
+    Returns (out [B, c, H_q, D], prompt_mass [B, c]).
+    """
+    b, c, hq, d = q.shape
+    s = k_buf.shape[1]
+    hkv = k_buf.shape[2]
+    n_rep = hq // hkv
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    q5 = q.reshape(b, c, hkv, n_rep, d)
+    logits = jnp.einsum("bqhrd,bkhd->bhrqk", q5, k_buf,
+                        preferred_element_type=jnp.float32) * scale
+    q_pos = q_offset + jnp.arange(c)
+    mask = jnp.arange(s)[None, :] <= q_pos[:, None]          # [c, S]
+    logits = jnp.where(mask[None, None, None], logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)                   # [B,h,r,c,S]
+    prompt_probs = attn[..., :prompt_len]
+    if prompt_lens is not None:
+        col = jnp.arange(prompt_len)[None, None, None, None, :]
+        prompt_probs = jnp.where(
+            col < prompt_lens[:, None, None, None, None], prompt_probs, 0.0)
+    prompt_mass = prompt_probs.sum(axis=-1).mean(axis=(1, 2))  # [B, c]
+    out = jnp.einsum("bhrqk,bkhd->bqhrd", attn.astype(v_buf.dtype), v_buf,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, c, hq, d).astype(q.dtype), prompt_mass

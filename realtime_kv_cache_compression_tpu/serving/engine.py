@@ -95,6 +95,7 @@ class ServingEngine:
                  sampling=None,
                  logprobs: bool = False,
                  prefix_cache_size: int = 0,
+                 prefill_chunk: Optional[int] = None,
                  seed: int = 0,
                  mesh=None):
         self.mcfg = mcfg
@@ -153,6 +154,24 @@ class ServingEngine:
         self._prefill = jax.jit(lambda p, i, n: llama.prefill_compressed(
             p, i, mcfg, ccfg, max_decode_len=max_new_tokens,
             use_flash=use_flash, lengths=n, mesh=mesh))
+        # Chunked prefill (prefill_chunk=c): admissions advance c prompt
+        # tokens per engine step, so active slots' decode latency is bounded
+        # by one chunk's time instead of a full-prompt prefill (vLLM-style).
+        # The chunk offset is traced state → ONE compile serves every chunk.
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk:
+            if context_len % prefill_chunk:
+                raise ValueError(
+                    f"context_len={context_len} must be a multiple of "
+                    f"prefill_chunk={prefill_chunk}")
+            self._chunk_step = jax.jit(
+                lambda p, i, t, n: llama.prefill_chunked_step(
+                    p, i, t, mcfg, ccfg, lengths=n))
+            self._chunk_finish = jax.jit(
+                lambda p, t, n: llama.prefill_chunked_finish(
+                    p, t, mcfg, ccfg, max_decode_len=max_new_tokens,
+                    lengths=n, mesh=mesh))
+        self._chunked: List[Dict[str, Any]] = []
         if mesh is not None:
             # Re-commit the slot layout after each insert: the admitted
             # row comes from a differently-sharded (often replicated,
@@ -249,7 +268,7 @@ class ServingEngine:
 
     def has_work(self) -> bool:
         return (bool(self._pending) or bool(self._inflight)
-                or any(self._active_mask))
+                or bool(self._chunked) or any(self._active_mask))
 
     def run(self, max_steps: int = 10_000) -> Dict[int, Request]:
         """Drive until all submitted requests complete."""
@@ -321,10 +340,37 @@ class ServingEngine:
 
         ids_arr = self._put(np.asarray(rows, np.int32), DATA_AXIS)
         len_arr = self._put(np.asarray(lengths, np.int32), DATA_AXIS)
-        logits, state, stats = self._prefill(self.params, ids_arr, len_arr)
         for req, slot, _key, _row in keyed:
             self._slots[slot] = req  # reserve; not active until ready
+        if self.prefill_chunk:
+            # Only the chunks covering the longest real prompt run; the
+            # finish pass masks everything past each row's true length.
+            n_chunks = -(-max(lengths) // self.prefill_chunk)
+            rec = {"keyed": keyed, "ids": ids_arr, "lens": len_arr,
+                   "st": llama.prefill_chunked_init(
+                       len(rows), self.context_len, self.mcfg),
+                   "off": 0, "end": n_chunks * self.prefill_chunk}
+            if not self._advance_chunked(rec):  # dispatch the first chunk
+                self._chunked.append(rec)
+            return
+        logits, state, stats = self._prefill(self.params, ids_arr, len_arr)
         self._inflight.append((keyed, logits, state, stats))
+
+    def _advance_chunked(self, rec) -> bool:
+        """Dispatch one prefill chunk; on the last chunk, compress into the
+        decode state and hand off to the normal admission-completion path.
+        Returns True when the record is finished."""
+        c = self.prefill_chunk
+        off = rec["off"]
+        rec["st"] = self._chunk_step(self.params, rec["ids"][:, off:off + c],
+                                     rec["st"], rec["lens"])
+        rec["off"] = off + c
+        if rec["off"] >= rec["end"]:
+            logits, state, stats = self._chunk_finish(self.params, rec["st"],
+                                                      rec["lens"])
+            self._inflight.append((rec["keyed"], logits, state, stats))
+            return True
+        return False
 
     def _put(self, x, *spec):
         """Place a host value: global array on the mesh (works whether or
@@ -504,8 +550,21 @@ class ServingEngine:
                 pairs.append((self._pending.popleft(), slot))
         if pairs:
             self._start_admissions(pairs)
-            if not self.async_admission:
-                self._poll_inflight(force=True)
+        # 1b) Advance in-progress chunked prefills — ONE chunk per engine
+        # step while decode is active (that's the interleaving), to
+        # completion when there is nothing to decode or admission is sync.
+        if self._chunked:
+            drain = not self.async_admission or not any(self._active_mask)
+            still = []
+            for rec in self._chunked:
+                done = self._advance_chunked(rec)
+                while drain and not done:
+                    done = self._advance_chunked(rec)
+                if not done:
+                    still.append(rec)
+            self._chunked = still
+        if pairs and not self.async_admission:
+            self._poll_inflight(force=True)
         if self.async_admission:
             # Nothing to decode yet → block on the oldest admission.
             self._poll_inflight(force=not any(self._active_mask))

@@ -1,0 +1,136 @@
+"""Chunked prefill tests: model-level equivalence + serving interleaving.
+
+vLLM-style chunked prefill (no reference counterpart — the reference
+prefills whole prompts through HF generate): the prompt advances
+`prefill_chunk` tokens per engine step so active slots' decode latency is
+bounded by a chunk, not a full prefill. Compression is unchanged — it runs
+once over the complete K/V + prompt mass at finish, so caches and tokens
+must match the one-shot prefill.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_kv_cache_compression_tpu import (CompressionConfig,
+                                               tiny_test_model)
+from realtime_kv_cache_compression_tpu.models import llama
+from realtime_kv_cache_compression_tpu.serving import ServingEngine
+
+
+@pytest.fixture(scope="module")
+def parts():
+    mcfg = tiny_test_model(num_layers=3)
+    ccfg = CompressionConfig(num_layers=3)
+    params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+    return params, mcfg, ccfg
+
+
+class TestModelLevel:
+    def test_matches_one_shot_prefill(self, parts):
+        params, mcfg, ccfg = parts
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 96), 0,
+                                 mcfg.vocab_size)
+        lengths = jnp.asarray([96, 70], jnp.int32)
+        lo1, st1, stats1 = llama.prefill_compressed(
+            params, ids, mcfg, ccfg, max_decode_len=8, lengths=lengths)
+        lo2, st2, stats2 = llama.prefill_compressed_chunked(
+            params, ids, mcfg, ccfg, chunk_size=32, max_decode_len=8,
+            lengths=lengths)
+        np.testing.assert_allclose(np.asarray(lo2), np.asarray(lo1),
+                                   atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(st1.caches),
+                        jax.tree_util.tree_leaves(st2.caches)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(st1.position),
+                                      np.asarray(st2.position))
+
+    def test_greedy_decode_token_identical(self, parts):
+        params, mcfg, ccfg = parts
+        ids = jax.random.randint(jax.random.PRNGKey(2), (1, 64), 0,
+                                 mcfg.vocab_size)
+        lo1, st1, _ = llama.prefill_compressed(params, ids, mcfg, ccfg,
+                                               max_decode_len=8)
+        lo2, st2, _ = llama.prefill_compressed_chunked(
+            params, ids, mcfg, ccfg, chunk_size=16, max_decode_len=8)
+        o1, _ = llama.decode_loop(params, jnp.argmax(lo1, -1), st1, 7,
+                                  mcfg, ccfg, use_fused=False)
+        o2, _ = llama.decode_loop(params, jnp.argmax(lo2, -1), st2, 7,
+                                  mcfg, ccfg, use_fused=False)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_single_chunk_degenerate(self, parts):
+        params, mcfg, ccfg = parts
+        ids = jax.random.randint(jax.random.PRNGKey(3), (1, 48), 0,
+                                 mcfg.vocab_size)
+        lo1, _, _ = llama.prefill_compressed(params, ids, mcfg, ccfg,
+                                             max_decode_len=4)
+        lo2, _, _ = llama.prefill_compressed_chunked(
+            params, ids, mcfg, ccfg, chunk_size=48, max_decode_len=4)
+        np.testing.assert_allclose(np.asarray(lo2), np.asarray(lo1),
+                                   atol=1e-4)
+
+    def test_rejects_nondivisible_chunk(self, parts):
+        params, mcfg, ccfg = parts
+        ids = jnp.zeros((1, 50), jnp.int32)
+        with pytest.raises(ValueError):
+            llama.prefill_compressed_chunked(params, ids, mcfg, ccfg,
+                                             chunk_size=16)
+
+
+def _prompt(seed, n=64):
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 250, size=n).tolist()
+
+
+class TestEngine:
+    def _run(self, parts, **kw):
+        params, mcfg, ccfg = parts
+        eng = ServingEngine(params, mcfg, ccfg, num_slots=2, context_len=64,
+                            max_new_tokens=9, decode_chunk=4, **kw)
+        rids = [eng.submit(_prompt(i, 40 + 8 * i), max_new_tokens=7)
+                for i in range(4)]
+        done = eng.run()
+        assert sorted(done) == sorted(rids)
+        return {r: done[r].tokens for r in rids}
+
+    def test_token_identical_to_unchunked(self, parts):
+        want = self._run(parts)
+        got = self._run(parts, prefill_chunk=16)
+        assert got == want
+
+    def test_sync_admission_mode(self, parts):
+        want = self._run(parts)
+        got = self._run(parts, prefill_chunk=16, async_admission=False)
+        assert got == want
+
+    def test_rejects_bad_chunk(self, parts):
+        params, mcfg, ccfg = parts
+        with pytest.raises(ValueError):
+            ServingEngine(params, mcfg, ccfg, context_len=64,
+                          prefill_chunk=24)
+
+    def test_decode_interleaves_with_chunked_admission(self, parts):
+        """While a new prompt is mid-chunked-prefill, the already-active
+        slot must keep producing tokens (head-of-line blocking bounded by
+        one chunk, not the whole prompt)."""
+        params, mcfg, ccfg = parts
+        eng = ServingEngine(params, mcfg, ccfg, num_slots=2, context_len=64,
+                            max_new_tokens=33, decode_chunk=2,
+                            prefill_chunk=8)
+        r1 = eng.submit(_prompt(0), max_new_tokens=32)
+        # Admit + activate r1 (no other work yet → chunks drain eagerly).
+        while not any(eng._active_mask):
+            eng.step()
+        tokens_before = len(eng.completed.get(r1, eng._slots[0]
+                                              or eng._slots[1]).tokens)
+        r2 = eng.submit(_prompt(1), max_new_tokens=4)
+        eng.step()  # admits r2 (one chunk) AND decodes r1
+        req1 = next(r for r in eng._slots if r is not None and r.rid == r1)
+        assert len(req1.tokens) > tokens_before  # r1 progressed
+        assert eng._chunked, "r2 should still be mid-prefill"
+        done = eng.run()
+        assert sorted(done) == [r1, r2]
