@@ -1,3 +1,4 @@
 from .engine import Request, ServingEngine
+from .server import CompletionServer
 
-__all__ = ["Request", "ServingEngine"]
+__all__ = ["Request", "ServingEngine", "CompletionServer"]
