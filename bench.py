@@ -65,15 +65,7 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
         device_memory_stats, model_footprint_mb)
 
     dev = jax.devices()[0]
-    if use_fused_decode is None:
-        # Auto: the fused kernel wins on TPU at batch 1/8, 4K/32K (RESULTS.md
-        # round 2); interpret-mode Pallas would crawl anywhere else.
-        use_fused_decode = jax.default_backend() == "tpu"
     rtt = measure_rtt()
-    log(f"device: {dev.device_kind}; readback RTT {rtt*1e3:.1f} ms; "
-        f"model layers={mcfg.num_layers} hidden={mcfg.hidden_size} "
-        f"kv_heads={mcfg.num_kv_heads}; seq={seq_len} new={new_tokens} "
-        f"flash={use_flash} fused_decode={use_fused_decode}")
 
     params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
     if weight_bits == 8:
@@ -83,8 +75,17 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
         # Streaming: frees each fp weight as its int8 replacement exists
         # (the jit/donate variant still peaked over HBM at 7B).
         params = quantize_params_streaming(params)
-    log(f"params: {model_footprint_mb(params):.0f} MB "
-        f"(weights {weight_bits}-bit)")
+    if use_fused_decode is None:
+        # Regime-aware auto: fused kernel everywhere on TPU except the one
+        # measured losing regime (int8 weights + few kv heads + batch 1 —
+        # RESULTS.md decision surface).
+        use_fused_decode = llama.resolve_fused_decode(params, mcfg, batch)
+    log(f"device: {dev.device_kind}; readback RTT {rtt*1e3:.1f} ms; "
+        f"model layers={mcfg.num_layers} hidden={mcfg.hidden_size} "
+        f"kv_heads={mcfg.num_kv_heads}; seq={seq_len} new={new_tokens} "
+        f"flash={use_flash} fused_decode={use_fused_decode}")
+    params_mb = model_footprint_mb(params)
+    log(f"params: {params_mb:.0f} MB (weights {weight_bits}-bit)")
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq_len), 0,
                              mcfg.vocab_size)
 
@@ -127,13 +128,27 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
 
     summary = summarize_layer_stats(stats)
     mem = device_memory_stats()
+    hbm_peak = mem["device_peak_mb"]
+    hbm_src = "backend"
+    if hbm_peak <= 0:
+        # Relay backends report no memory_stats(); fall back to analytic
+        # accounting: weights + live decode state (compressed pools, recent
+        # ring, scales — an actual pytree byte count, consistent with
+        # cache_storage_bytes) + logits/activation slack.
+        state_mb = model_footprint_mb(state)
+        logits_mb = (batch * mcfg.vocab_size * 4) / 2**20
+        hbm_peak = params_mb + state_mb + logits_mb
+        hbm_src = f"analytic (params {params_mb:.0f} + decode state "\
+                  f"{state_mb:.0f} + logits {logits_mb:.0f})"
     log(f"TTFT(compressed prefill): {ttft*1e3:.1f} ms   "
         f"decode: {tok_per_s:.1f} tok/s ({decode_time*1e3/n_steps:.2f} "
         f"ms/step)   kept_ratio={summary['avg_compression_ratio']:.3f}   "
         f"byte_savings={summary['avg_memory_savings']:.3f}   "
-        f"hbm_peak={mem['device_peak_mb']:.0f} MB")
+        f"hbm_peak={hbm_peak:.0f} MB [{hbm_src}]")
 
-    result = {"tok_per_s": tok_per_s, "ttft": ttft, "summary": summary}
+    result = {"tok_per_s": tok_per_s, "ttft": ttft, "summary": summary,
+              "hbm_peak_mb": hbm_peak, "hbm_source": hbm_src,
+              "fused_decode": bool(use_fused_decode)}
 
     if compare_uncompressed:
         pre_u = jax.jit(lambda p, i: llama.prefill_uncompressed(
@@ -185,6 +200,10 @@ def main():
                     help="run at the reference's committed operating point "
                          "(alpha .6/.2/.2, theta .6/.2, bits 16/8/4, "
                          "threshold tiers -> ~0.45 kept ratio; VERDICT #5)")
+    ap.add_argument("--decode-pool-blocks", type=int, default=0,
+                    help="enable decode-token compression with this many "
+                         "ring-sized pool blocks (0 = off; costs ~6% "
+                         "step time, extends decodable length + savings)")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fused-decode", action="store_true", default=None,
                     help="force the fused Pallas dequant-attention decode "
@@ -214,12 +233,15 @@ def main():
     mcfg = dataclasses.replace(mcfg, **overrides)
     if args.anchor:
         from realtime_kv_cache_compression_tpu import reference_anchor_config
-        ccfg = reference_anchor_config(num_layers=mcfg.num_layers)
+        ccfg = reference_anchor_config(
+            num_layers=mcfg.num_layers,
+            decode_pool_blocks=args.decode_pool_blocks)
     else:
         ccfg = CompressionConfig(num_layers=mcfg.num_layers,
                                  high_precision_bits=8,
                                  medium_precision_bits=4,
-                                 low_precision_bits=2)
+                                 low_precision_bits=2,
+                                 decode_pool_blocks=args.decode_pool_blocks)
 
     use_flash = not args.no_flash
     try:
@@ -240,12 +262,29 @@ def main():
                           weight_bits=args.weight_bits)
 
     reference_compressed_tok_s = 3.6  # BASELINE.md, same 4096-token context
+    summary = res.get("summary", {})
     print(json.dumps({
         "metric": "compressed_kv_decode_throughput_4k",
         "value": round(res["tok_per_s"], 2),
         "unit": "tokens/s",
         "vs_baseline": round(res["tok_per_s"] / reference_compressed_tok_s,
                              2),
+        # Self-explaining context (VERDICT r2 #6): which arm this is and
+        # how savings are accounted, so round-over-round deltas are
+        # interpretable from the JSON alone.
+        "ttft_ms": round(res["ttft"] * 1e3, 1),
+        "kept_ratio": round(summary.get("avg_compression_ratio", 0.0), 3),
+        "byte_savings": round(summary.get("avg_memory_savings", 0.0), 3),
+        "savings_accounting": "v2: scale/zp bytes counted (r2 advisor fix)",
+        "decode_pool": bool(args.decode_pool_blocks),
+        "fused_decode": res.get("fused_decode"),
+        "weight_bits": args.weight_bits,
+        "hbm_peak_mb": round(res.get("hbm_peak_mb", 0.0), 1),
+        "hbm_source": res.get("hbm_source"),
+        "quality_anchor": ("importance v3 (recency position bias W=T/4 + "
+                           "prompt-region floor): quality_demo_r3 balanced "
+                           "recall >=0.99 token acc at 1k/4k-filler, kept "
+                           "0.55"),
     }))
 
 

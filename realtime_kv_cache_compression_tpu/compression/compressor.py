@@ -115,8 +115,14 @@ def compress_layer_kv(
     # Step 5 (ordered before 4 here — selection decides what to quantize, so
     # we never quantize dropped tokens; the reference quantized everything
     # then threw 40-60% of it away).
+    # Local (sub-window) selection under sharding/chunking skips anchor tier
+    # growth (select_tokens docstring); a "chunked" call covering the whole
+    # sequence is the plain path and must match it exactly.
+    local_window = sharded and seq_len != total
     sel: Selection = select_tokens(scores, labels, layer_idx, cfg,
-                                   token_valid=token_valid)
+                                   token_valid=token_valid,
+                                   total_len=total if local_window else None,
+                                   prompt_lens=prompt_lens)
 
     # Step 4: quantize + physically pack each tier pool.
     tiers = []

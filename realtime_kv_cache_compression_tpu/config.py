@@ -108,6 +108,36 @@ class CompressionConfig:
     # max(1, S * fallback_frac) tokens (selective_propagation.py:205-211).
     fallback_frac: float = 0.1
 
+    # Position-bias shape. The reference's b_pos(i) = log(i+1)/log(T)
+    # (token_importance.py:93-110) is monotone over the WHOLE sequence, so a
+    # fixed beta ranks every late token above every early token once
+    # attention-mass differences are smaller than the bias gap — at T >= 1K
+    # the gap approaches beta and early-context payloads lose the budget
+    # race wholesale (the round-2 committed long-context collapse: token
+    # acc 0.13 vs baseline 1.0 at 4K). "recency" (default) replaces it with
+    # a windowed ramp b_pos(i) = max(0, 1 - (T - i)/W): recency protects
+    # what it is actually for — a local window the next decode steps need —
+    # without taxing the early context. W = recency_window tokens
+    # (0 → auto: max(64, T // 8), capped at T). "log" restores the exact
+    # reference formula (reference_anchor_config pins it).
+    position_bias_mode: str = "recency"
+    recency_window: int = 0
+
+    # Prompt-region retention floor (beyond the reference): guarantee the
+    # first ceil(prompt_len · prompt_region_floor) GLOBAL positions —
+    # i.e. that share of the identified prompt region — selection and the
+    # HIGH precision tier (the HIGH pool grows to hold anchors, see
+    # anchor_count), by boosting their scores above every natural score
+    # (but below sink anchors). The reference's own framing says prompt
+    # tokens guide importance, yet its formula lets them be dropped at
+    # depth; with the floor, instructions/questions at the head of a
+    # LongBench-style context survive every layer at full precision. The
+    # cost is bounded: the region is at most prompt_cap (128) tokens.
+    # Default ON — together with the recency bias this is what holds
+    # long-context recall (round-2 collapse fix). 0 disables (reference
+    # behavior).
+    prompt_region_floor: float = 1.0
+
     # Attention-sink anchors (beyond the reference; AnTKV/StreamingLLM-style):
     # the first `sink_tokens` GLOBAL positions are boosted to the top of the
     # importance ranking, so they are always selected and land in the HIGH
@@ -175,6 +205,13 @@ class CompressionConfig:
             raise ValueError("thresholds must satisfy 0 <= theta_m <= theta_h")
         if self.sink_tokens < 0:
             raise ValueError("sink_tokens must be >= 0")
+        if self.position_bias_mode not in ("recency", "log"):
+            raise ValueError(
+                f"unknown position_bias_mode {self.position_bias_mode!r}")
+        if self.recency_window < 0:
+            raise ValueError("recency_window must be >= 0")
+        if not (0.0 <= self.prompt_region_floor <= 1.0):
+            raise ValueError("prompt_region_floor must be in [0, 1]")
         if self.tier_mode not in ("threshold", "quantile"):
             raise ValueError(f"unknown tier_mode {self.tier_mode!r}")
         if self.selection_mode not in ("topk_prefix", "exact_greedy"):
@@ -229,6 +266,26 @@ class CompressionConfig:
         """Static prompt prefix length (unified_compressor.py:55)."""
         return max(1, min(int(seq_len * self.prompt_frac), self.prompt_cap))
 
+    def recency_window_for(self, total_len: int) -> int:
+        """Static recency-bias window W (position_bias_mode="recency").
+        Auto (0): T/4, clamped to [16, 2048]. Why T/4 (measured, round-3
+        diagnostics at 4K): the window does double duty — it protects the
+        local continuation context AND it concentrates the byte budget's
+        LOW-precision tail in the suffix. Too small a window leaves
+        scattered mid-sequence tokens holding the 2-bit tier, whose key
+        quantization noise attracts spurious attention (acc 0.824 at W=T/8
+        vs 0.994 at W=T/4, quality_demo_r3). The floor keeps it off the
+        head: a short sequence must not ramp from position 0 (that
+        reintroduces the log bias's early-token tax)."""
+        w = self.recency_window or max(16, min(2048, total_len // 4))
+        return max(1, min(w, total_len))
+
+    def prompt_floor_length(self, prompt_len: int) -> int:
+        """Static count of head positions guaranteed by prompt_region_floor."""
+        if not self.prompt_region_floor:
+            return 0
+        return min(prompt_len, math.ceil(prompt_len * self.prompt_region_floor))
+
     def token_limit(self, seq_len: int, layer_idx: int) -> int:
         """Max tokens SELECTED for a layer — exact, bucket-independent
         semantics: ceil(seq_len · ratio), floored by the emergency fraction.
@@ -237,11 +294,20 @@ class CompressionConfig:
         k = max(k, max(1, math.ceil(seq_len * self.fallback_frac)))
         return min(k, seq_len)
 
-    def tier_limits(self, limit: int) -> Tuple[int, int]:
+    def anchor_count(self, seq_len: int) -> int:
+        """Static count of anchored head positions: tokens guaranteed top
+        rank AND the HIGH tier — the HIGH tier grows to hold them when the
+        fraction prior is too small. Sinks and the prompt floor are both
+        head prefixes, so the distinct anchor region is their max."""
+        return max(self.sink_tokens,
+                   self.prompt_floor_length(self.prompt_length(seq_len)))
+
+    def tier_limits(self, limit: int, anchors: int = 0) -> Tuple[int, int]:
         """Quantile-mode tier boundaries within `limit` selected tokens:
-        the top ceil(limit·f_h) are HIGH, the next ceil(limit·f_m) MID."""
+        the top max(ceil(limit·f_h), anchors) are HIGH, the next
+        ceil(limit·f_m) MID."""
         fh, fm, _ = self.tier_fractions
-        n_h = min(math.ceil(limit * fh), limit)
+        n_h = min(max(math.ceil(limit * fh), anchors), limit)
         n_m = min(math.ceil(limit * fm), limit - n_h)
         return n_h, n_m
 
@@ -250,27 +316,38 @@ class CompressionConfig:
         return min(_round_up(self.token_limit(seq_len, layer_idx),
                              self.slot_align), _round_up(seq_len, self.slot_align))
 
-    def tier_capacities(self, seq_len: int, layer_idx: int) -> Tuple[int, int, int]:
+    def tier_capacities(self, seq_len: int, layer_idx: int,
+                        grow_for_anchors: bool = True
+                        ) -> Tuple[int, int, int]:
         """Static per-tier ALLOCATED pool capacities (high, mid, low).
 
         Alignment affects only storage; selection counts are governed by
         token_limit/tier_limits, so retention and tier mix are independent
-        of padding-bucket choice.
+        of padding-bucket choice. `grow_for_anchors=False` (sequence-sharded
+        / chunked local selection) keeps the fraction-prior capacities:
+        shard capacities must stay uniform and every tier nonzero for the
+        slot-axis sharding, so anchors there get selection but only
+        best-effort HIGH tier.
         """
         limit = self.token_limit(seq_len, layer_idx)
         cap = _round_up(limit, self.slot_align)
+        anchors = (min(self.anchor_count(seq_len), limit)
+                   if grow_for_anchors else 0)
         if self.tier_mode == "threshold":
             # Static caps from the allocation prior × slack; selection clamps
             # the (contiguous) tier boundaries to these. Capacity sums to
-            # >= limit by construction, so every selected token fits.
+            # >= limit by construction, so every selected token fits. The
+            # HIGH pool additionally grows to hold every anchored token
+            # (sinks + prompt floor land above theta_h by construction).
             caps = tuple(
-                min(cap, _round_up(math.ceil(limit * f
-                                             * self.threshold_tier_slack),
+                min(cap, _round_up(max(math.ceil(limit * f
+                                                 * self.threshold_tier_slack),
+                                       anchors if tier == 0 else 0),
                                    self.slot_align))
-                for f in self.tier_fractions)
+                for tier, f in enumerate(self.tier_fractions))
             assert sum(caps) >= limit
             return tuple(self._chunk_align(c) for c in caps)
-        n_h, n_m = self.tier_limits(limit)
+        n_h, n_m = self.tier_limits(limit, anchors=anchors)
         n_l = limit - n_h - n_m
         return tuple(
             self._chunk_align(_round_up(n, self.slot_align)) if n else 0
@@ -423,7 +500,8 @@ def reference_anchor_config(num_layers: int = 32,
                 early_layer_ratio=0.8, middle_layer_ratio=0.6,
                 later_layer_ratio=0.4, high_precision_bits=16,
                 medium_precision_bits=8, low_precision_bits=4,
-                tier_mode="threshold", num_layers=num_layers)
+                tier_mode="threshold", position_bias_mode="log",
+                prompt_region_floor=0.0, num_layers=num_layers)
     base.update(overrides)
     return CompressionConfig(**base)
 

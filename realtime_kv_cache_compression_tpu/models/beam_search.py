@@ -76,7 +76,11 @@ def beam_search(
     `return_all_beams`.
     """
     if use_fused_decode is None:
-        use_fused_decode = jax.default_backend() == "tpu"
+        from .llama import resolve_fused_decode
+
+        # Beam decode runs at batch B*num_beams.
+        use_fused_decode = resolve_fused_decode(
+            params, cfg, int(input_ids.shape[0]) * num_beams)
     b = input_ids.shape[0]
     w = num_beams
     t_total = max_new_tokens

@@ -772,6 +772,27 @@ def decode_step(
     return logits, state
 
 
+def resolve_fused_decode(params, cfg: ModelConfig, batch: int) -> bool:
+    """Regime-aware auto choice for the fused Pallas decode kernel.
+
+    Measured decision surface (benchmarks/RESULTS.md, TPU v5e): the fused
+    single-launch dequant-attention kernel wins every bf16-weight regime
+    tested (batch 1/8, 4K/32K, 4 and 32 kv heads) and int8-weight 7B
+    (32 kv heads, +45%); the XLA dequant path wins only int8 weights +
+    few kv heads + batch 1 (TinyLlama b1 4K: 1.91 vs 2.03 ms/step, −6%),
+    where the halved weight-streaming floor makes the kernel's KV-read
+    savings matter less than its (B, H) grid underutilization. Off TPU the
+    kernel would run in interpret mode — always off.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    from .quantized_params import params_are_quantized
+
+    if params_are_quantized(params) and cfg.num_kv_heads <= 4 and batch <= 1:
+        return False
+    return True
+
+
 def decode_loop(
     params: Params,
     first_token: Array,
@@ -789,8 +810,9 @@ def decode_loop(
 ):
     """n_steps of decode inside one XLA program (lax.scan over steps).
 
-    use_fused=None → auto: fused Pallas decode kernel on TPU (it wins at
-    batch 1/8, 4K/32K — benchmarks/RESULTS.md round 2), XLA path elsewhere.
+    use_fused=None → auto: `resolve_fused_decode` — the fused Pallas decode
+    kernel on TPU except in the one measured regime where the XLA path wins
+    (int8 weights + few kv heads + batch 1, benchmarks/RESULTS.md).
 
     One dispatch for the whole generation — essential on TPU, where per-call
     host round-trips would otherwise dominate decode latency.
@@ -819,7 +841,8 @@ def decode_loop(
     filters, and penalties.
     """
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+        use_fused = resolve_fused_decode(params, cfg,
+                                         int(first_token.shape[0]))
     if sampling is None:
         sampling = SamplingParams(temperature=temperature)
     if not sampling.is_greedy and rng is None:
@@ -947,12 +970,13 @@ def generate(
     GenerationConfig surface the reference used). Returns
     (generated ids [B, T], per-layer prefill compression stats).
 
-    use_fused_decode=None → auto: the fused Pallas decode kernel on TPU
-    (it beats the XLA dequant path at batch 1 and 8, 4K and 32K —
-    benchmarks/RESULTS.md round 2), the XLA path elsewhere (interpret-mode
-    Pallas would crawl on CPU)."""
+    use_fused_decode=None → auto: `resolve_fused_decode` — the fused Pallas
+    decode kernel on TPU except in the one measured regime where the XLA
+    path wins (int8 weights + few kv heads + batch 1, RESULTS.md); the XLA
+    path elsewhere (interpret-mode Pallas would crawl on CPU)."""
     if use_fused_decode is None:
-        use_fused_decode = jax.default_backend() == "tpu"
+        use_fused_decode = resolve_fused_decode(params, cfg,
+                                                int(input_ids.shape[0]))
     if sampling is None:
         sampling = SamplingParams(temperature=temperature)
     if not sampling.is_greedy and rng is None:

@@ -120,6 +120,23 @@ def quantize_params_streaming(params: Dict[str, Any],
     return out
 
 
+def params_are_quantized(params: Any) -> bool:
+    """True when the pytree carries int8 QuantizedTensor weights (used by
+    the fused-decode auto heuristic: with int8 weights the weight-streaming
+    floor halves and the decode-path tradeoff shifts — RESULTS.md)."""
+    found = False
+
+    def visit(x):
+        nonlocal found
+        if isinstance(x, QuantizedTensor):
+            found = True
+        return x
+
+    jax.tree_util.tree_map(
+        visit, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    return found
+
+
 def params_bytes(params: Any) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(params))

@@ -71,12 +71,30 @@ def position_bias(seq_len: int, dtype=jnp.float32) -> Array:
     """b_pos(i) = log(i+1)/log(T), 1-based positions; zeros if T <= 1.
 
     Mirrors token_importance.py:93-110. `seq_len` is static, so the branch is
-    resolved at trace time.
+    resolved at trace time. This is the `position_bias_mode="log"` shape; the
+    default "recency" shape is `recency_bias` below.
     """
     if seq_len <= 1:
         return jnp.zeros((seq_len,), dtype=dtype)
     positions = jnp.arange(1, seq_len + 1, dtype=dtype)
     return jnp.log(positions) / jnp.log(jnp.asarray(seq_len, dtype=dtype))
+
+
+def recency_bias(seq_len: int, window: int, dtype=jnp.float32) -> Array:
+    """b_pos(i) = max(0, 1 - (T - i)/W): a linear ramp over the last `window`
+    positions, zero before it (position_bias_mode="recency", the default).
+
+    Rationale (round-2 long-context collapse, VERDICT): the reference's
+    log(i+1)/log(T) shape is monotone over the WHOLE sequence, so at large T
+    every late filler token outranks every early token by nearly beta and
+    early-context payloads lose the selection-budget race
+    (token_importance.py:87-110 — same defect, untested past its truncation
+    limit). A recency *window* protects local continuation context without
+    taxing the head of the sequence, where prompts/instructions live.
+    """
+    positions = jnp.arange(1, seq_len + 1, dtype=dtype)
+    return jnp.clip(1.0 - (jnp.asarray(seq_len, dtype) - positions) / window,
+                    0.0, 1.0)
 
 
 def context_relevance(seq_len: int, prompt_len: int) -> float:
@@ -145,32 +163,65 @@ def importance_scores(
         normalized = minmax_normalize(mass, valid=valid)
     w_l = cfg.layer_weights[layer_idx]
     term1 = cfg.alpha * normalized * w_l
+    recency = cfg.position_bias_mode == "recency"
     if lengths is None:
-        if total <= 1:
+        # position_offset may be traced (axis_index under shard_map).
+        pos = (jnp.arange(1, seq_len + 1, dtype=jnp.float32)
+               + position_offset)
+        if recency:
+            w = jnp.float32(cfg.recency_window_for(total))
+            term2 = cfg.beta * jnp.clip(
+                1.0 - (jnp.float32(total) - pos) / w, 0.0, 1.0)[None, :]
+        elif total <= 1:
             term2 = jnp.zeros((1, seq_len), jnp.float32) * cfg.beta
         else:
-            # position_offset may be traced (axis_index under shard_map).
-            pos = (jnp.arange(1, seq_len + 1, dtype=jnp.float32)
-                   + position_offset)
             term2 = cfg.beta * (jnp.log(pos)
                                 / jnp.log(jnp.float32(total)))[None, :]
         term3 = cfg.gamma * context_relevance(total, prompt_len)
     else:
         lens = jnp.maximum(lengths.astype(jnp.float32), 2.0)[:, None]
         pos = jnp.arange(1, seq_len + 1, dtype=jnp.float32)[None, :]
-        term2 = cfg.beta * jnp.log(pos) / jnp.log(lens)
+        if recency:
+            w = (jnp.float32(cfg.recency_window)
+                 if cfg.recency_window
+                 else jnp.maximum(16.0, jnp.minimum(2048.0,
+                                                    jnp.floor(lens / 4.0))))
+            w = jnp.minimum(jnp.maximum(w, 1.0), lens)
+            term2 = cfg.beta * jnp.clip(1.0 - (lens - pos) / w, 0.0, 1.0)
+        else:
+            term2 = cfg.beta * jnp.log(pos) / jnp.log(lens)
         p_lens = (prompt_lens.astype(jnp.float32)[:, None]
                   if prompt_lens is not None else float(prompt_len))
         term3 = cfg.gamma * jnp.minimum(1.0, p_lens / lens)
     scores = term1 + term2 + term3
+    # Anchor boosts carry a small earliest-first position ramp (~5e-4/token
+    # over a <=128-token head region: far above cross-path float noise in
+    # the attention mass, far below the boost itself). Anchored tokens are
+    # then ordered deterministically regardless of how the mass was
+    # computed (dense / flash / ring-merged), instead of by exact-tie noise.
+    gpos = (jnp.arange(seq_len) + position_offset)[None, :]
+    ramp = 5e-4 * gpos.astype(jnp.float32)
+    if cfg.prompt_region_floor:
+        # Prompt-region retention floor (config.prompt_region_floor): the
+        # first ceil(prompt_len · floor) GLOBAL positions are boosted above
+        # every natural score (terms sum to <= ~1) but below sink anchors,
+        # guaranteeing them selection and the HIGH tier in both tier modes
+        # and under sequence sharding.
+        if prompt_lens is not None:
+            floor_len = jnp.ceil(prompt_lens.astype(jnp.float32)
+                                 * cfg.prompt_region_floor)[:, None]
+            floor_mask = gpos < floor_len
+        else:
+            floor_mask = gpos < cfg.prompt_floor_length(prompt_len)
+        scores = jnp.where(floor_mask, scores + 1.0 + cfg.theta_h - ramp,
+                           scores)
     if cfg.sink_tokens:
         # Attention-sink anchors (config.sink_tokens): boost the first k
         # GLOBAL positions above every natural score (terms sum to <= ~1+
         # theta_h guard) so they always select into the HIGH tier, in both
         # tier modes and under sequence sharding (position_offset-aware).
-        gpos = jnp.arange(seq_len) + position_offset
-        scores = jnp.where((gpos < cfg.sink_tokens)[None, :],
-                           scores + 2.0 + cfg.theta_h, scores)
+        scores = jnp.where(gpos < cfg.sink_tokens,
+                           scores + 2.0 + cfg.theta_h - ramp, scores)
     return scores
 
 

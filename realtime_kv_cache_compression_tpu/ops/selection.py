@@ -75,6 +75,8 @@ def select_tokens(
     layer_idx: int,
     cfg: CompressionConfig,
     token_valid: Array = None,
+    total_len: int = None,
+    prompt_lens: Array = None,
 ) -> Selection:
     """Select tokens under the layer byte-budget, bucketed into tier slots.
 
@@ -88,10 +90,21 @@ def select_tokens(
       token_valid: optional [B, S] bool — ragged batches: invalid (padding)
         tokens are never selected, and the byte budget scales with the true
         per-row length instead of the bucket length.
+      total_len: GLOBAL sequence length when scores are a local shard/chunk
+        of a longer sequence. Local (sharded/chunked) selection does NOT
+        grow the HIGH tier for anchors — shard capacities must stay uniform
+        and every tier nonzero for the slot-axis sharding — so under
+        sequence sharding anchors are guaranteed selection (boost) but only
+        best-effort HIGH tier.
+      prompt_lens: optional [B] per-row prompt lengths (ragged batches) —
+        anchor growth of the HIGH tier then follows each row's floored
+        region instead of the padding bucket's.
     """
     batch, seq_len = scores.shape
     ratio = cfg.layer_ratio(layer_idx)
-    caps = cfg.tier_capacities(seq_len, layer_idx)  # allocated (high,mid,low)
+    caps = cfg.tier_capacities(
+        seq_len, layer_idx,
+        grow_for_anchors=total_len is None)  # allocated (h,m,l)
 
     scores = scores.astype(jnp.float32)
     if token_valid is not None:
@@ -144,6 +157,20 @@ def select_tokens(
         fh, fm, _ = cfg.tier_fractions
         lim_f = limit.astype(jnp.float32)
         n_h = jnp.minimum(jnp.ceil(lim_f * fh), lim_f).astype(jnp.int32)
+        # Anchored tokens (sinks + prompt floor) rank top by construction;
+        # grow the HIGH boundary so every anchor gets the high tier even
+        # when the fraction prior is smaller (mirrors tier_capacities).
+        # Skipped under sequence sharding (total_len set): see docstring.
+        if total_len is None and cfg.anchor_count(seq_len):
+            if prompt_lens is not None:
+                anchors = jnp.maximum(
+                    cfg.sink_tokens,
+                    jnp.ceil(prompt_lens.astype(jnp.float32)
+                             * cfg.prompt_region_floor
+                             ).astype(jnp.int32)[:, None])
+            else:
+                anchors = cfg.anchor_count(seq_len)
+            n_h = jnp.maximum(n_h, jnp.minimum(anchors, limit))
         n_m = jnp.minimum(jnp.ceil(lim_f * fm),
                           limit - n_h).astype(jnp.int32)
         tier_sorted = jnp.where(

@@ -85,7 +85,8 @@ def seq_parallel_prefill(
     dtype = jnp.dtype(cfg.dtype)
     if sharded_compression:
         for layer_idx in range(cfg.num_layers):
-            caps = ccfg.tier_capacities(s_loc, layer_idx)
+            caps = ccfg.tier_capacities(s_loc, layer_idx,
+                                        grow_for_anchors=False)
             if any(c == 0 for c in caps):
                 raise ValueError(
                     f"sharded compression: layer {layer_idx} has a "

@@ -107,9 +107,10 @@ class ServingEngine:
         self.eos_token_id = eos_token_id
         self.mesh = mesh
         if use_fused_decode is None:
-            # Auto: fused Pallas decode on TPU (wins at batch 1 and 8, 4K
-            # and 32K — benchmarks/RESULTS.md round 2), XLA path elsewhere.
-            use_fused_decode = jax.default_backend() == "tpu"
+            # Regime-aware auto (RESULTS.md decision surface); the engine
+            # decodes all slots at once, so batch = num_slots.
+            use_fused_decode = llama.resolve_fused_decode(
+                params, mcfg, num_slots)
 
         # Multi-host (multi-process) SPMD: engaged when the mesh spans
         # processes. Every process then runs this same engine with identical
@@ -150,6 +151,11 @@ class ServingEngine:
         self._slot_budget = [0] * num_slots
         self._next_rid = 0
         self.completed: Dict[int, Request] = {}
+        # O(1) lifetime aggregates: `summary()` reads these, so popping
+        # resolved requests out of `completed` (see `release`) never loses
+        # stats and a long-running server's memory stays bounded.
+        self._agg = {"completed": 0, "ttft_sum": 0.0, "wall_sum": 0.0,
+                     "tokens_sum": 0, "savings_sum": 0.0}
 
         self._prefill = jax.jit(lambda p, i, n: llama.prefill_compressed(
             p, i, mcfg, ccfg, max_decode_len=max_new_tokens,
@@ -529,6 +535,12 @@ class ServingEngine:
             if isinstance(req.prefill_stats, list):  # device stats → floats
                 req.prefill_stats = summarize_layer_stats(req.prefill_stats)
             self.completed[req.rid] = req
+            self._agg["completed"] += 1
+            self._agg["ttft_sum"] += req.ttft or 0.0
+            self._agg["wall_sum"] += req.finished_at - req.submitted_at
+            self._agg["tokens_sum"] += len(req.tokens)
+            self._agg["savings_sum"] += (req.prefill_stats or {}).get(
+                "avg_memory_savings", 0.0)
         self._slots[slot] = None
         self._active_mask[slot] = False
 
@@ -601,19 +613,31 @@ class ServingEngine:
 
     # -- stats --------------------------------------------------------------
 
+    def release(self, rid: int):
+        """Pop a resolved request out of `completed`. Callers that hold the
+        result elsewhere (the HTTP server's jobs) must release, or a
+        long-running server accumulates every request ever served; lifetime
+        stats live in O(1) aggregates so `summary()` is unaffected."""
+        return self.completed.pop(rid, None)
+
+    def snapshot(self) -> Dict[str, Any]:
+        """Cheap occupancy snapshot (for cross-thread /health-style reads —
+        callers outside the engine's driver thread should consume a copy
+        published by the driver rather than reading private fields)."""
+        return {"pending": len(self._pending),
+                "active_slots": int(sum(self._active_mask)),
+                "num_slots": self.num_slots}
+
     def summary(self) -> Dict[str, Any]:
-        done = list(self.completed.values())
-        if not done:
+        n = self._agg["completed"]
+        if not n:
             return {"completed": 0}
-        walls = [r.finished_at - r.submitted_at for r in done]
         out = {
-            "completed": len(done),
-            "avg_ttft_s": sum(r.ttft for r in done) / len(done),
-            "avg_wall_s": sum(walls) / len(walls),
-            "total_tokens": sum(len(r.tokens) for r in done),
-            "avg_memory_savings": (
-                sum(r.prefill_stats["avg_memory_savings"] for r in done)
-                / len(done)),
+            "completed": n,
+            "avg_ttft_s": self._agg["ttft_sum"] / n,
+            "avg_wall_s": self._agg["wall_sum"] / n,
+            "total_tokens": self._agg["tokens_sum"],
+            "avg_memory_savings": self._agg["savings_sum"] / n,
         }
         if self._prefix_cache is not None:
             out["prefix_cache"] = {"hits": self.prefix_hits,

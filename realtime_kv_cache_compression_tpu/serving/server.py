@@ -81,8 +81,14 @@ class CompletionServer:
         self._jobs: Dict[int, _Job] = {}
         self._stop = threading.Event()
         self._driver: Optional[threading.Thread] = None
+        self._driver_error: Optional[str] = None
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._started_at = time.time()
+        # Driver-published snapshots: handler threads read these plain-dict
+        # references (atomic rebinds) instead of reaching into engine
+        # internals from another thread.
+        self._occupancy: Dict[str, Any] = engine.snapshot()
+        self._summary: Dict[str, Any] = engine.summary()
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -118,25 +124,43 @@ class CompletionServer:
     # -- driver thread (sole owner of the engine) ----------------------------
 
     def _drive(self):
-        while not self._stop.is_set():
-            busy = self._drain_submissions()
-            if self.engine.has_work():
-                self.engine.step()
-                busy = True
-            # Resolve even without a step: a request can finish during
-            # submission itself (e.g. max_tokens=1 hits the budget at
-            # admission).
-            if self._jobs:
-                self._resolve_finished()
-            if not busy:
-                # Idle: park briefly; submissions wake us on the next spin.
-                self._stop.wait(0.002)
-        # Unblock any waiters on shutdown.
-        for job in list(self._jobs.values()):
-            job.error = job.error or "server shutting down"
-            job.stream_q.put(None)
-            job.done.set()
-        self._jobs.clear()
+        try:
+            while not self._stop.is_set():
+                try:
+                    busy = self._drain_submissions()
+                    if self.engine.has_work():
+                        self.engine.step()
+                        busy = True
+                    # Resolve even without a step: a request can finish
+                    # during submission itself (e.g. max_tokens=1 hits the
+                    # budget at admission).
+                    if self._jobs:
+                        self._resolve_finished()
+                    self._occupancy = self.engine.snapshot()
+                except Exception as e:  # engine died: fail fast and visibly
+                    self._driver_error = f"{type(e).__name__}: {e}"
+                    break
+                if not busy:
+                    # Idle: park briefly; submissions wake on the next spin.
+                    self._stop.wait(0.002)
+        finally:
+            # Always unblock waiters — on clean shutdown AND on driver
+            # death; new submissions are rejected at submit_completion once
+            # _driver_error is set / the thread is dead.
+            err = self._driver_error or "server shutting down"
+            for job in list(self._jobs.values()):
+                job.error = job.error or err
+                job.stream_q.put(None)
+                job.done.set()
+            self._jobs.clear()
+            while True:
+                try:
+                    job = self._submit_q.get_nowait()
+                except queue.Empty:
+                    break
+                job.error = err
+                job.stream_q.put(None)
+                job.done.set()
 
     def _drain_submissions(self) -> bool:
         moved = False
@@ -160,27 +184,66 @@ class CompletionServer:
     def _make_streamer(self, job: _Job):
         def on_token(req, _new_tokens):
             text = decode_ids(self.tokenizer, req.tokens)
-            delta, job.sent_text = text[len(job.sent_text):], text
-            if delta:
-                job.stream_q.put(delta)
+            # Withhold any trailing text that is still a prefix of a stop
+            # sequence: the engine keeps a matched stop in req.tokens, and
+            # non-streamed responses strip it — streams must match (OpenAI
+            # stop semantics). The held-back tail is emitted (or discarded
+            # as matched stop text) at resolution.
+            safe = len(text)
+            for s in job.stop_texts:
+                for k in range(min(len(s), len(text)), 0, -1):
+                    if s and text.endswith(s[:k]):
+                        safe = min(safe, len(text) - k)
+                        break
+            if safe > len(job.sent_text):
+                job.stream_q.put(text[len(job.sent_text):safe])
+                job.sent_text = text[:safe]
         return on_token
+
+    def _final_text(self, job: _Job) -> str:
+        """Decoded completion with a matched stop sequence stripped (shared
+        by streamed and non-streamed paths so the two never diverge)."""
+        text = decode_ids(self.tokenizer, job.request.tokens)
+        for s in job.stop_texts:  # OpenAI semantics: stop text not returned
+            if s and text.endswith(s):
+                return text[:-len(s)]
+        return text
 
     def _resolve_finished(self):
         for rid in [r for r, j in self._jobs.items()
                     if r in self.engine.completed]:
             job = self._jobs.pop(rid)
-            job.request = self.engine.completed[rid]
+            # release(): resolved requests must not accumulate in the engine
+            # forever (lifetime stats live in O(1) aggregates).
+            job.request = self.engine.release(rid)
+            if job.stream:
+                final = self._final_text(job)
+                if len(final) > len(job.sent_text):
+                    job.stream_q.put(final[len(job.sent_text):])
+                job.sent_text = final
             job.stream_q.put(None)
             job.done.set()
+        self._summary = self.engine.summary()
 
     # -- request handling (called from HTTP handler threads) -----------------
 
     def submit_completion(self, body: Dict[str, Any]) -> _Job:
-        prompt = body.get("prompt", "")
-        if isinstance(prompt, list):
-            input_ids = [int(t) for t in prompt]
-        else:
-            input_ids = encode_ids(self.tokenizer, str(prompt))
+        if self._driver_error or (self._driver is not None
+                                  and not self._driver.is_alive()):
+            raise RuntimeError("engine driver is down: "
+                               f"{self._driver_error or 'thread exited'}")
+        try:
+            prompt = body.get("prompt", "")
+            if isinstance(prompt, list):
+                input_ids = [int(t) for t in prompt]
+            else:
+                input_ids = encode_ids(self.tokenizer, str(prompt))
+            max_new = (int(body["max_tokens"])
+                       if body.get("max_tokens") is not None else None)
+        except (TypeError, ValueError) as e:
+            # Uniform 400 for malformed scalar types (JSON null max_tokens,
+            # non-scalar prompt elements) instead of a crashed handler.
+            raise ValueError(f"malformed request field: {e}")
         stop = body.get("stop") or []
         if isinstance(stop, str):
             stop = [stop]
@@ -203,8 +266,7 @@ class CompletionServer:
                     f"the desired SamplingParams")
         job = _Job(
             input_ids=input_ids,
-            max_new_tokens=(int(body["max_tokens"])
-                            if "max_tokens" in body else None),
+            max_new_tokens=max_new,
             stop_sequences=[s for s in stop_sequences if s],
             stop_texts=stop_texts,
             stream=bool(body.get("stream", False)),
@@ -215,11 +277,7 @@ class CompletionServer:
 
     def completion_response(self, job: _Job, prompt_text: str) -> Dict:
         req = job.request
-        text = decode_ids(self.tokenizer, req.tokens)
-        for s in job.stop_texts:  # OpenAI semantics: stop text not returned
-            if s and text.endswith(s):
-                text = text[:-len(s)]
-                break
+        text = self._final_text(job)
         choice: Dict[str, Any] = {
             "index": 0,
             "text": (prompt_text + text) if job.echo else text,
@@ -248,13 +306,19 @@ class CompletionServer:
             },
         }
 
+    def driver_alive(self) -> bool:
+        return (self._driver is not None and self._driver.is_alive()
+                and not self._driver_error)
+
     def stats(self) -> Dict[str, Any]:
+        # Driver-published snapshots only — no cross-thread reads of engine
+        # internals from HTTP handler threads.
         return {
             "uptime_s": time.time() - self._started_at,
-            "pending": len(self.engine._pending),
-            "active_slots": sum(self.engine._active_mask),
-            "num_slots": self.engine.num_slots,
-            "summary": self.engine.summary(),
+            "driver_alive": self.driver_alive(),
+            "driver_error": self._driver_error,
+            **self._occupancy,
+            "summary": self._summary,
         }
 
 
@@ -275,9 +339,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/health":
-            self._json(200, {"status": "ok",
-                             "active_slots": sum(self.ctx.engine._active_mask),
-                             "num_slots": self.ctx.engine.num_slots})
+            alive = self.ctx.driver_alive()
+            self._json(200 if alive else 503, {
+                "status": "ok" if alive else "driver_dead",
+                "driver_error": self.ctx._driver_error,
+                **self.ctx._occupancy})
         elif self.path == "/v1/models":
             self._json(200, {"object": "list", "data": [
                 {"id": self.ctx.model_id, "object": "model"}]})
@@ -298,8 +364,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             job = self.ctx.submit_completion(body)
-        except ValueError as e:
+        except (TypeError, ValueError) as e:
             self._json(400, {"error": str(e)})
+            return
+        except RuntimeError as e:  # engine driver dead — service unavailable
+            self._json(503, {"error": str(e)})
             return
         prompt = body.get("prompt", "")
         prompt_text = prompt if isinstance(prompt, str) else ""

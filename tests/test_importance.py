@@ -78,16 +78,106 @@ def test_scores_shape_finite_and_layer_weighting(rng, cfg):
     np.testing.assert_allclose(t1_0, expected, atol=1e-5)
 
 
-def test_scores_three_term_decomposition(rng, cfg):
+def test_scores_three_term_decomposition(rng):
+    """Both position-bias modes decompose into the documented three terms."""
+    import dataclasses
+
     s, p = 32, 6
     attn = softmax_attn(rng, b=1, h=2, s=s)
     mass = imp.prompt_attention_mass(attn, p)
+    cfg = CompressionConfig(num_layers=8, position_bias_mode="log",
+                            prompt_region_floor=0.0)
     scores = imp.importance_scores(mass, 2, s, p, cfg)
     manual = (cfg.alpha * imp.minmax_normalize(mass) * cfg.layer_weights[2]
               + cfg.beta * imp.position_bias(s)[None]
               + cfg.gamma * imp.context_relevance(s, p))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(manual),
                                atol=1e-6)
+    # Default mode is the recency-window ramp.
+    rcfg = dataclasses.replace(cfg, position_bias_mode="recency",
+                               recency_window=8)
+    scores_r = imp.importance_scores(mass, 2, s, p, rcfg)
+    manual_r = (manual - cfg.beta * imp.position_bias(s)[None]
+                + cfg.beta * imp.recency_bias(s, 8)[None])
+    np.testing.assert_allclose(np.asarray(scores_r), np.asarray(manual_r),
+                               atol=1e-6)
+
+
+def test_recency_bias_shape():
+    """Ramp over the last W positions, zero before (the long-context fix)."""
+    rb = np.asarray(imp.recency_bias(64, 16))
+    assert rb.shape == (64,)
+    assert abs(rb[-1] - 1.0) < 1e-6
+    assert np.all(rb[: 64 - 16] == 0.0)        # untouched early context
+    assert np.all(np.diff(rb[64 - 16:]) > 0)   # strictly rising in-window
+    # The log shape taxes early tokens by ~beta at large T; recency doesn't.
+    lb = np.asarray(imp.position_bias(4096))
+    rb4k = np.asarray(imp.recency_bias(4096, 512))
+    assert lb[2048] > 0.9      # mid-sequence filler nearly maxes the log bias
+    assert rb4k[2048] == 0.0   # ...and gets none under recency
+
+
+def test_prompt_region_floor_guarantees_selection_high_tier():
+    """config.prompt_region_floor: the floored head of the identified prompt
+    region outranks natural scores, selects, and lands in the HIGH tier —
+    in both tier modes, under a position offset, and on ragged rows."""
+    import dataclasses
+
+    from realtime_kv_cache_compression_tpu.ops import selection as sel_mod
+    from realtime_kv_cache_compression_tpu.ops.quantization import (
+        assign_precision)
+
+    rng = np.random.default_rng(1)
+    mass = jnp.asarray(rng.random((2, 64)).astype(np.float32))
+    p = 12
+    for mode in ("quantile", "threshold"):
+        cfg = CompressionConfig(
+            num_layers=4, high_precision_bits=8, medium_precision_bits=4,
+            low_precision_bits=2, prompt_region_floor=1.0, tier_mode=mode,
+            early_layer_ratio=0.4, middle_layer_ratio=0.4,
+            later_layer_ratio=0.4, slot_align=1)
+        scores = importance_scores_all(mass, cfg, 64, p)
+        assert bool((jnp.argsort(-scores[0])[:p] < p).all())
+        labels, _ = assign_precision(scores, cfg)
+        sel = sel_mod.select_tokens(scores, labels, 3, cfg)
+        kept = np.asarray(sel.kept_mask)
+        assert kept[:, :p].all(), f"floored prompt dropped in {mode} mode"
+        hi_idx, hi_valid = np.asarray(sel.indices[0]), np.asarray(sel.valid[0])
+        for b in range(2):
+            in_high = set(hi_idx[b][hi_valid[b]].tolist())
+            assert set(range(p)) <= in_high, (mode, in_high)
+    # Partial floor: only ceil(p * 0.5) positions boosted.
+    cfg = CompressionConfig(num_layers=4, prompt_region_floor=0.5)
+    assert cfg.prompt_floor_length(p) == 6
+    s_half = importance_scores_all(mass, cfg, 64, p)
+    s_none = importance_scores_all(
+        mass, dataclasses.replace(cfg, prompt_region_floor=0.0), 64, p)
+    boosted = np.asarray(s_half - s_none)
+    assert np.all(boosted[:, :6] > 1.0) and np.allclose(boosted[:, 6:], 0.0)
+    # Position offset (shard at global 32): region [0, p) is off-shard.
+    s_off = importance_scores_all(mass, cfg, 64, p, position_offset=32,
+                                  total_len=96)
+    s_off_none = importance_scores_all(
+        mass, dataclasses.replace(cfg, prompt_region_floor=0.0), 64, p,
+        position_offset=32, total_len=96)
+    assert bool(jnp.allclose(s_off, s_off_none))
+    # Ragged rows: per-row prompt lengths.
+    cfg = CompressionConfig(num_layers=4, prompt_region_floor=1.0)
+    lengths = jnp.array([64, 40])
+    plens = jnp.array([8, 4])
+    s_r = imp.importance_scores(mass, 0, 64, p, cfg, lengths=lengths,
+                                prompt_lens=plens)
+    s_r0 = imp.importance_scores(
+        mass, 0, 64, p,
+        dataclasses.replace(cfg, prompt_region_floor=0.0),
+        lengths=lengths, prompt_lens=plens)
+    diff = np.asarray(s_r - s_r0)
+    assert np.all(diff[0, :8] > 1.0) and np.allclose(diff[0, 8:], 0.0)
+    assert np.all(diff[1, :4] > 1.0) and np.allclose(diff[1, 4:], 0.0)
+
+
+def importance_scores_all(mass, cfg, s, p, **kw):
+    return imp.importance_scores(mass, 3, s, p, cfg, **kw)
 
 
 def test_prompt_biased_attention_ranks_prompt_attenders_high(rng, cfg):

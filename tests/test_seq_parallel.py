@@ -73,16 +73,22 @@ def test_seq_parallel_prefill_matches_single_device(n_seq):
 
     np.testing.assert_allclose(np.asarray(logits_n), np.asarray(logits_1),
                                rtol=1e-4, atol=1e-4)
-    # Selection identical (deterministic on the exact merged prompt mass).
+    # Selection identical as a SET per tier (intra-tier storage order is
+    # score-descending; the ring-merged prompt mass differs from the dense
+    # path's by float association, which may permute near-tied tokens
+    # within a tier without changing membership).
     for l in range(MCFG.num_layers):
         np.testing.assert_array_equal(
             np.asarray(stats_n[l]["kept_tokens"]),
             np.asarray(stats_1[l]["kept_tokens"]))
         for t1, tn in zip(state_1.caches[l].tiers, state_n.caches[l].tiers):
-            np.testing.assert_array_equal(np.asarray(tn.positions),
-                                          np.asarray(t1.positions))
             np.testing.assert_array_equal(np.asarray(tn.valid),
                                           np.asarray(t1.valid))
+            for b in range(t1.positions.shape[0]):
+                v1 = np.asarray(t1.valid[b])
+                np.testing.assert_array_equal(
+                    np.sort(np.asarray(tn.positions[b])[np.asarray(tn.valid[b])]),
+                    np.sort(np.asarray(t1.positions[b])[v1]))
 
 
 def test_seq_parallel_then_decode():
