@@ -194,6 +194,46 @@ def commit_block(state: DecodeState, blocks: List[Tuple[Array, Array]],
 # Driver
 # ---------------------------------------------------------------------------
 
+def extend_prefill(
+    params: Params,
+    state: DecodeState,
+    suffix_ids: Array,
+    suffix_lens: Array,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+) -> Tuple[Array, DecodeState]:
+    """Extend a compressed prefill with additional prompt tokens (the
+    longest-prefix prefix-cache continuation; serving/engine.py partial
+    hits).
+
+    The suffix attends to [compressed tier pools | decode pool | recent
+    ring | itself (causal)] — exactly the approximation decode already
+    makes over a compressed prefix — and its K/V append to the recent ring
+    (flushing into decode pools as sequential steps would). The cached
+    prefix state must have ring headroom for the suffix
+    (ServingEngine.register_prefix allocates it); the compressed prefix
+    pools are reused verbatim: ~4x denser than a bf16 prefix cache at the
+    same context, which is what makes prefix caching cheap here.
+
+    Args:
+      state: single-or-batched DecodeState at the prefix length (positions
+        carry it). NOT mutated.
+      suffix_ids: [B, T] right-padded suffix tokens.
+      suffix_lens: [B] true suffix lengths (padding tokens sit at later
+        positions, so real queries never attend them; their K/V never
+        commit).
+
+    Returns (last_logits [B, V] — logits at each row's final real suffix
+    token, the next-token distribution, and the advanced state).
+    """
+    logits, blocks = verify_forward(params, suffix_ids, state, cfg, ccfg)
+    keep = suffix_lens.astype(jnp.int32)
+    new_state = commit_block(state, blocks, keep, cfg, ccfg)
+    last = jnp.take_along_axis(
+        logits, (keep - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    return last, new_state
+
+
 def speculative_decode_loop(
     params: Params,
     first_token: Array,

@@ -96,6 +96,7 @@ class ServingEngine:
                  logprobs: bool = False,
                  prefix_cache_size: int = 0,
                  prefill_chunk: Optional[int] = None,
+                 prefix_continue_budget: int = 0,
                  seed: int = 0,
                  mesh=None):
         self.mcfg = mcfg
@@ -157,8 +158,15 @@ class ServingEngine:
         self._agg = {"completed": 0, "ttft_sum": 0.0, "wall_sum": 0.0,
                      "tokens_sum": 0, "savings_sum": 0.0}
 
+        # Longest-prefix continuation (prefix_continue_budget > 0): every
+        # prefill allocates `budget` extra recent-ring slots so a cached
+        # prefix state can absorb up to `budget` suffix tokens via
+        # extend_prefill while every slot keeps identical leaf shapes
+        # (required by the batched-state row insert).
+        self.prefix_continue_budget = prefix_continue_budget
+        ring_cap = max_new_tokens + prefix_continue_budget
         self._prefill = jax.jit(lambda p, i, n: llama.prefill_compressed(
-            p, i, mcfg, ccfg, max_decode_len=max_new_tokens,
+            p, i, mcfg, ccfg, max_decode_len=ring_cap,
             use_flash=use_flash, lengths=n, mesh=mesh))
         # Chunked prefill (prefill_chunk=c): admissions advance c prompt
         # tokens per engine step, so active slots' decode latency is bounded
@@ -175,7 +183,7 @@ class ServingEngine:
                     p, i, t, mcfg, ccfg, lengths=n))
             self._chunk_finish = jax.jit(
                 lambda p, t, n: llama.prefill_chunked_finish(
-                    p, t, mcfg, ccfg, max_decode_len=max_new_tokens,
+                    p, t, mcfg, ccfg, max_decode_len=ring_cap,
                     lengths=n, mesh=mesh))
         self._chunked: List[Dict[str, Any]] = []
         if mesh is not None:
@@ -237,6 +245,13 @@ class ServingEngine:
             OrderedDict() if prefix_cache_size > 0 else None)
         self.prefix_hits = 0
         self.prefix_misses = 0
+        # Registered prefixes (register_prefix): shared system prompts a
+        # new prompt may EXTEND. A partial hit reuses the prefix's
+        # compressed pools verbatim and runs extend_prefill over just the
+        # suffix — prefill work proportional to the non-shared tail.
+        self._registered: Dict[Tuple[int, ...], Any] = {}
+        self.prefix_partial_hits = 0
+        self._continue_fns: Dict[int, Any] = {}  # per suffix bucket
         self._extract_row = jax.jit(lambda s, r: jax.tree_util.tree_map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, r, 1, axis=0), s))
 
@@ -271,6 +286,69 @@ class ServingEngine:
             stop_sequences=[list(s) for s in (stop_sequences or [])],
             eos_token_id=eos_token_id, on_token=on_token))
         return rid
+
+    def register_prefix(self, input_ids: List[int]) -> None:
+        """Prefill and pin a shared prefix (e.g. a system prompt).
+
+        Later prompts that EXTEND it admit via a partial prefix-cache hit:
+        the prefix's compressed pools are reused verbatim and only the
+        suffix runs through `extend_prefill` — prefill work proportional
+        to the non-shared tail, which for the dominant serving pattern
+        (one system prompt, many questions) is the whole point. Requires
+        `prefix_continue_budget` >= the longest expected suffix.
+        """
+        if not self.prefix_continue_budget:
+            raise ValueError(
+                "register_prefix requires prefix_continue_budget > 0 "
+                "(ring headroom for the continuation suffix)")
+        import numpy as np
+
+        from ..parallel.mesh import DATA_AXIS
+
+        ids, length = self._bucket_ids(input_ids)
+        key = tuple(ids[:length])
+        if key in self._registered:
+            return
+        ids_arr = self._put(np.asarray([ids], np.int32), DATA_AXIS)
+        len_arr = self._put(np.asarray([length], np.int32), DATA_AXIS)
+        logits, state, stats = self._prefill(self.params, ids_arr, len_arr)
+        row_stats = summarize_layer_stats_per_row(stats, 1)[0]
+        self._registered[key] = (logits, state, row_stats)
+
+    def _find_partial(self, key: Tuple[int, ...]):
+        """Longest registered prefix that `key` strictly extends, within
+        the continuation budget."""
+        best = None
+        for rkey in self._registered:
+            if (len(rkey) < len(key) and key[:len(rkey)] == rkey
+                    and len(key) - len(rkey) <= self.prefix_continue_budget
+                    and (best is None or len(rkey) > len(best))):
+                best = rkey
+        return best
+
+    def _continue_entry(self, rkey: Tuple[int, ...], key: Tuple[int, ...]):
+        """Build an admission entry by extending a registered prefix with
+        the request's suffix (compiled once per pow2 suffix bucket)."""
+        import numpy as np
+
+        logits0, state0, stats0 = self._registered[rkey]
+        suffix = list(key[len(rkey):])
+        t = len(suffix)
+        bucket = max(8, 1 << (t - 1).bit_length())
+        if bucket not in self._continue_fns:
+            from ..models import speculative
+
+            self._continue_fns[bucket] = jax.jit(
+                lambda p, st, suf, n: speculative.extend_prefill(
+                    p, st, suf, n, self.mcfg, self.ccfg))
+        suf = self._put(np.asarray([suffix + [0] * (bucket - t)], np.int32))
+        lens = self._put(np.asarray([t], np.int32))
+        logits, state = self._continue_fns[bucket](self.params, state0,
+                                                   suf, lens)
+        stats = dict(stats0)
+        stats["prefix_partial"] = True
+        stats["suffix_tokens"] = t
+        return (logits, state, stats)
 
     def has_work(self) -> bool:
         return (bool(self._pending) or bool(self._inflight)
@@ -311,11 +389,23 @@ class ServingEngine:
             key = tuple(ids[:length])
             entry = (self._prefix_cache.get(key)
                      if self._prefix_cache is not None else None)
-            if entry is not None and self._state is not None:
-                self._prefix_cache.move_to_end(key)
+            if entry is None:
+                entry = self._registered.get(key)  # exact registered hit
+            if entry is not None:
+                if self._prefix_cache is not None and key in self._prefix_cache:
+                    self._prefix_cache.move_to_end(key)
                 self.prefix_hits += 1
                 hits.append((req, slot, entry))
                 continue
+            if entry is None and self._registered:
+                rkey = self._find_partial(key)
+                if rkey is not None:
+                    # Partial hit: reuse the registered prefix's compressed
+                    # pools; prefill only the suffix (extend_prefill).
+                    self.prefix_partial_hits += 1
+                    hits.append((req, slot,
+                                 self._continue_entry(rkey, key)))
+                    continue
             # Identical prompts in the same admission batch share one
             # prefill row (their decode states diverge only after the slot
             # insert, so sharing is exact).
@@ -418,20 +508,7 @@ class ServingEngine:
                 jnp.take_along_axis(lp, first_toks[:, None], axis=-1)[:, 0])
         n_rows = 1 + max(row for *_, row in pairs)
         row_stats = summarize_layer_stats_per_row(stats, n_rows)
-        if self._state is None:
-            self._state = self._materialize(state)
-            if self.mesh is not None:
-                from ..parallel.sharding import constrain_decode_state
-                self._state = jax.jit(
-                    lambda s: constrain_decode_state(s, self.mesh))(
-                        self._state)
-            import numpy as np
-
-            self._last_tokens = self._put(
-                np.zeros((self.num_slots,), np.int32))
-            if self._track_counts:
-                self._counts = self._put(np.zeros(
-                    (self.num_slots, self.mcfg.vocab_size), np.int32))
+        self._ensure_state(state)
         for i, (req, slot, key, row) in enumerate(pairs):
             tok0 = int(toks_host[i])
             req.ttft = time.time() - req.submitted_at
@@ -450,10 +527,28 @@ class ServingEngine:
                 req, slot, tok0,
                 None if lp0_host is None else float(lp0_host[i]))
 
+    def _ensure_state(self, template_state):
+        """Materialize the batched slot state (lazily, at first admission)
+        from any single/multi-row state with the canonical leaf shapes."""
+        if self._state is not None:
+            return
+        self._state = self._materialize(template_state)
+        if self.mesh is not None:
+            from ..parallel.sharding import constrain_decode_state
+            self._state = jax.jit(
+                lambda s: constrain_decode_state(s, self.mesh))(self._state)
+        import numpy as np
+
+        self._last_tokens = self._put(np.zeros((self.num_slots,), np.int32))
+        if self._track_counts:
+            self._counts = self._put(np.zeros(
+                (self.num_slots, self.mcfg.vocab_size), np.int32))
+
     def _complete_cached(self, req: Request, slot: int, entry):
         """Admit a prefix-cache hit: no prefill — sample the first token
         from the cached logits and insert the cached single-row state."""
         logits_row, state_row, stats_row = entry
+        self._ensure_state(state_row)
         if self.sampling.is_greedy:
             first = jnp.argmax(logits_row, axis=-1)  # [1]
         else:
@@ -639,8 +734,12 @@ class ServingEngine:
             "total_tokens": self._agg["tokens_sum"],
             "avg_memory_savings": self._agg["savings_sum"] / n,
         }
-        if self._prefix_cache is not None:
-            out["prefix_cache"] = {"hits": self.prefix_hits,
-                                   "misses": self.prefix_misses,
-                                   "entries": len(self._prefix_cache)}
+        if self._prefix_cache is not None or self._registered:
+            out["prefix_cache"] = {
+                "hits": self.prefix_hits,
+                "misses": self.prefix_misses,
+                "partial_hits": self.prefix_partial_hits,
+                "entries": (len(self._prefix_cache)
+                            if self._prefix_cache is not None else 0),
+                "registered": len(self._registered)}
         return out

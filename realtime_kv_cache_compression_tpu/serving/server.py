@@ -56,6 +56,7 @@ class _Job:
     stop_texts: List[str]
     stream: bool
     echo: bool
+    register: bool = False  # prefix-registration job (no generation)
     rid: Optional[int] = None
     request: Any = None
     error: Optional[str] = None
@@ -171,6 +172,13 @@ class CompletionServer:
                 return moved
             moved = True
             try:
+                if job.register:
+                    # Prefix registration runs synchronously on the driver
+                    # (the engine is single-threaded by design).
+                    self.engine.register_prefix(job.input_ids)
+                    job.stream_q.put(None)
+                    job.done.set()
+                    continue
                 on_token = self._make_streamer(job) if job.stream else None
                 job.rid = self.engine.submit(
                     job.input_ids, max_new_tokens=job.max_new_tokens,
@@ -227,7 +235,8 @@ class CompletionServer:
 
     # -- request handling (called from HTTP handler threads) -----------------
 
-    def submit_completion(self, body: Dict[str, Any]) -> _Job:
+    def submit_completion(self, body: Dict[str, Any],
+                          register: bool = False) -> _Job:
         if self._driver_error or (self._driver is not None
                                   and not self._driver.is_alive()):
             raise RuntimeError("engine driver is down: "
@@ -271,6 +280,7 @@ class CompletionServer:
             stop_texts=stop_texts,
             stream=bool(body.get("stream", False)),
             echo=bool(body.get("echo", False)),
+            register=register,
         )
         self._submit_q.put(job)
         return job
@@ -353,7 +363,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path not in ("/v1/completions", "/completions"):
+        if self.path not in ("/v1/completions", "/completions",
+                             "/v1/prefixes"):
             self._json(404, {"error": "not found"})
             return
         try:
@@ -361,6 +372,24 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self.rfile.read(length) or b"{}")
         except Exception:
             self._json(400, {"error": "invalid JSON body"})
+            return
+        if self.path == "/v1/prefixes":
+            # Register a shared prefix (system prompt): later completions
+            # extending it prefill only their suffix (partial hit).
+            try:
+                job = self.ctx.submit_completion(body, register=True)
+            except (TypeError, ValueError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except RuntimeError as e:
+                self._json(503, {"error": str(e)})
+                return
+            job.done.wait()
+            if job.error:
+                self._json(400, {"error": job.error})
+            else:
+                self._json(200, {"registered": True,
+                                 "prompt_tokens": len(job.input_ids)})
             return
         try:
             job = self.ctx.submit_completion(body)
@@ -452,6 +481,11 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--prefix-cache", type=int, default=8)
+    p.add_argument("--prefix-continue-budget", type=int, default=0,
+                   help="enable longest-prefix continuation: prompts "
+                        "extending a registered prefix (POST "
+                        "/v1/prefixes {\"prompt\": ...}) prefill only "
+                        "their suffix (<= this many tokens)")
     p.add_argument("--no-flash", action="store_true")
     args = p.parse_args(argv)
 
@@ -476,7 +510,8 @@ def main(argv: Optional[List[str]] = None):
         context_len=args.context_len, max_new_tokens=args.max_new_tokens,
         use_flash=not args.no_flash, temperature=args.temperature,
         eos_token_id=getattr(tokenizer, "eos_token_id", None),
-        prefix_cache_size=args.prefix_cache)
+        prefix_cache_size=args.prefix_cache,
+        prefix_continue_budget=args.prefix_continue_budget)
     srv = CompletionServer(engine, tokenizer, model_id=args.preset,
                            host=args.host, port=args.port).start()
     print(f"serving {args.preset} on http://{srv.host}:{srv.port} "

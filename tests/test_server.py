@@ -292,6 +292,37 @@ def test_driver_death_fails_pending_and_returns_503():
         assert e.value.code == 503
 
 
+def test_prefix_registration_endpoint():
+    """POST /v1/prefixes registers a shared prefix; completions extending
+    it admit via a partial hit (suffix-only prefill)."""
+    tok = ByteTokenizer()
+    mcfg = rtc.tiny_test_model(vocab_size=tok.vocab_size)
+    ccfg = rtc.CompressionConfig(num_layers=mcfg.num_layers)
+    params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+    engine = ServingEngine(params, mcfg, ccfg, num_slots=2, context_len=64,
+                           max_new_tokens=8, decode_chunk=4,
+                           prefix_continue_budget=16)
+    with CompletionServer(engine, tok, host="127.0.0.1", port=0) as srv:
+        sys_prompt = list(range(2, 34))
+        code, out = _post(srv, "/v1/prefixes", {"prompt": sys_prompt})
+        assert code == 200 and out["registered"]
+        code, out = _post(srv, "/v1/completions",
+                          {"prompt": sys_prompt + [40, 41, 42],
+                           "max_tokens": 6})
+        assert code == 200
+        assert engine.prefix_partial_hits == 1
+        code, stats = _get(srv, "/stats")
+        assert stats["summary"]["prefix_cache"]["partial_hits"] == 1
+        assert stats["summary"]["prefix_cache"]["registered"] == 1
+        # Without the budget, registration is a clean 400.
+    engine2 = ServingEngine(params, mcfg, ccfg, num_slots=2, context_len=64,
+                            max_new_tokens=8, decode_chunk=4)
+    with CompletionServer(engine2, tok, host="127.0.0.1", port=0) as srv:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/v1/prefixes", {"prompt": [1, 2, 3]})
+        assert e.value.code == 400
+
+
 def test_error_paths(served):
     srv, *_ = served
     # Bad sampling override → 400 (sampling is compiled into the engine).

@@ -71,13 +71,19 @@ def test_sharded_prefill_matches_single_device(setup):
     np.testing.assert_array_equal(
         np.asarray(stats_8[0]["kept_tokens"]),
         np.asarray(stats_1[0]["kept_tokens"]))
-    # Cache positions identical (deterministic stable sort on replicated
-    # scores).
+    # Cache membership identical per tier (intra-tier storage order is
+    # score-descending; GSPMD layer-reduction float association can permute
+    # near-tied tokens within a tier without changing membership).
     for t1, t8 in zip(
             llama.prefill_compressed(params, ids, mcfg, ccfg)[1].caches[0].tiers,
             state_8.caches[0].tiers):
-        np.testing.assert_array_equal(np.asarray(t8.positions),
-                                      np.asarray(t1.positions))
+        np.testing.assert_array_equal(np.asarray(t8.valid),
+                                      np.asarray(t1.valid))
+        for b in range(t1.positions.shape[0]):
+            v = np.asarray(t1.valid[b])
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(t8.positions[b])[np.asarray(t8.valid[b])]),
+                np.sort(np.asarray(t1.positions[b])[v]))
 
 
 def test_sharded_decode_matches_single_device(setup):
