@@ -68,13 +68,13 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
     rtt = measure_rtt()
 
     params = jax.device_put(llama.init_params(jax.random.PRNGKey(0), mcfg))
-    if weight_bits == 8:
+    if weight_bits in (4, 8):
         from realtime_kv_cache_compression_tpu.models.quantized_params import (
             quantize_params_streaming)
 
-        # Streaming: frees each fp weight as its int8 replacement exists
-        # (the jit/donate variant still peaked over HBM at 7B).
-        params = quantize_params_streaming(params)
+        # Streaming: frees each fp weight as its quantized replacement
+        # exists (the jit/donate variant still peaked over HBM at 7B).
+        params = quantize_params_streaming(params, bits=weight_bits)
     if use_fused_decode is None:
         # Regime-aware auto: fused kernel everywhere on TPU except the one
         # measured losing regime (int8 weights + few kv heads + batch 1 —
@@ -193,7 +193,8 @@ def main():
                     choices=["tinyllama", "llama2-7b", "mistral-7b"])
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
-    ap.add_argument("--weight-bits", type=int, default=16, choices=[8, 16],
+    ap.add_argument("--weight-bits", type=int, default=16,
+                    choices=[4, 8, 16],
                     help="8 = weight-only int8 quantization (halves weight "
                          "HBM footprint and decode floor)")
     ap.add_argument("--anchor", action="store_true",

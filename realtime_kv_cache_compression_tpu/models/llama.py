@@ -104,14 +104,22 @@ def init_params(key: Array, cfg: ModelConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 def _matmul(x: Array, w) -> Array:
-    """x @ w for raw or int8-quantized weights.
+    """x @ w for raw, int8-, or int4-quantized weights.
 
     For `QuantizedTensor` (axis=1, per-out-channel), the int8 operand is
     converted inside the dot's operand stream — XLA:TPU fuses the convert so
     the weight reads HBM at 1 byte/element — then the f32 scale is applied
     to the [..., out] result.
+
+    For `Int4Tensor` (group-wise scales along the reduction axis), the
+    group structure becomes a batch axis of the dot: y_g = x_g @ q_g runs
+    over int4 codes (unpack = two shifts + interleave, fused into the
+    operand stream at 0.5 bytes/element HBM), then the [group, out] scale
+    multiplies the per-group partials before the sum over groups — the
+    scale never touches the [in, out]-sized operand, so nothing
+    weight-sized materializes in bf16.
     """
-    from .quantized_params import QuantizedTensor
+    from .quantized_params import Int4Tensor, QuantizedTensor
 
     if isinstance(w, QuantizedTensor):
         if w.act_quant and w.axis == 1:
@@ -120,6 +128,22 @@ def _matmul(x: Array, w) -> Array:
         y = jnp.dot(x, w.q.astype(x.dtype),
                     preferred_element_type=jnp.float32)
         return (y * w.scale[None, :]).astype(x.dtype)
+    if isinstance(w, Int4Tensor):
+        n_g = w.scale.shape[0]
+        if n_g == 1:
+            y = jnp.dot(x, w.unpack_codes().astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+            return (y * w.scale[0][None, :]).astype(x.dtype)
+        g = w.group_size
+        out_dim = w.q_packed.shape[-1]
+        codes = w.unpack_codes().astype(x.dtype).reshape(n_g, g, out_dim)
+        lead = x.shape[:-1]
+        xg = x.reshape(*lead, n_g, g)
+        y = jnp.einsum("...gi,gio->...go", xg, codes,
+                       preferred_element_type=jnp.float32)
+        y = (y * w.scale.reshape((1,) * len(lead) + (n_g, out_dim))
+             ).sum(axis=-2)
+        return y.astype(x.dtype)
     return x @ w
 
 

@@ -12,6 +12,14 @@ TPU for streaming operands). With `act_quant=True`
 (quantize_params(..., act_quant=True)), activations quantize per token on
 the fly and the matmul runs int8 x int8 -> int32 on the MXU through
 `ops/pallas/int8_matmul.py` — double the bf16 MXU rate on v5e.
+
+Round 3 adds **int4 weights** (`quantize_params(..., bits=4)` →
+`Int4Tensor`): nibble-packed codes with group-wise scales along the
+reduction axis (default group 128, the standard W4 recipe — per-out-channel
+int4 alone is too coarse). Decode at batch 1 is weight-streaming-bound, so
+halving the weight bytes again (Llama-2-7B: 6.6 GB int8 → 3.4 GB int4)
+directly raises the tok/s ceiling. Embedding and lm_head stay int8: their
+quality sensitivity is high and they are a small fraction of the bytes.
 """
 
 from __future__ import annotations
@@ -66,16 +74,95 @@ def quantize_tensor(w: Array, axis: int = 1,
     return QuantizedTensor(q=q, scale=scale, axis=axis, act_quant=act_quant)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int4Tensor:
+    """Group-wise symmetric int4 weight: w[i, o] ≈ q[i, o] · scale[i//G, o].
+
+    Codes live in [-7, 7] and are nibble-packed along the IN (reduction)
+    axis: `q_packed[p, o]` holds row 2p in its low nibble and row 2p+1 in
+    its high nibble, so unpacking is two shifts + an interleave — cheap VPU
+    work that XLA fuses into the consuming dot's operand stream, keeping
+    the HBM read at 0.5 bytes/element. Scales are per (group, out-channel),
+    group size G along the reduction axis (in_dim % G == 0; callers fall
+    back to one group otherwise).
+    """
+
+    q_packed: Array  # [in_dim // 2, out] int8 (two nibbles per byte)
+    scale: Array     # [in_dim // G, out] float32
+    in_dim: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def shape(self):
+        return (self.in_dim, self.q_packed.shape[-1])
+
+    @property
+    def group_size(self) -> int:
+        return self.in_dim // self.scale.shape[0]
+
+    def unpack_codes(self) -> Array:
+        """[in_dim, out] int8 codes in [-8, 7] (sign-extended nibbles)."""
+        p = self.q_packed
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+        hi = jnp.right_shift(p, 4)
+        return jnp.stack([lo, hi], axis=1).reshape(self.in_dim,
+                                                   p.shape[-1])
+
+    def dequantize(self, dtype=jnp.bfloat16) -> Array:
+        n_g = self.scale.shape[0]
+        codes = self.unpack_codes().astype(jnp.float32)
+        w = (codes.reshape(n_g, self.group_size, -1)
+             * self.scale[:, None, :])
+        return w.reshape(self.in_dim, -1).astype(dtype)
+
+
+def quantize_tensor_int4(w: Array, group_size: int = 128) -> Int4Tensor:
+    """Symmetric group-wise int4 quantization along the reduction axis.
+
+    Falls back to a single group when in_dim % group_size != 0. in_dim must
+    be even (nibble packing); every transformer matmul dim is.
+    """
+    wf = w.astype(jnp.float32)
+    in_dim, out = wf.shape
+    if in_dim % 2:
+        raise ValueError(f"int4 packing needs even in_dim, got {in_dim}")
+    g = group_size if in_dim % group_size == 0 else in_dim
+    n_g = in_dim // g
+    grouped = wf.reshape(n_g, g, out)
+    absmax = jnp.max(jnp.abs(grouped), axis=1)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(grouped / scale[:, None, :]), -7, 7)
+    q = q.astype(jnp.int8).reshape(in_dim, out)
+    pairs = q.reshape(in_dim // 2, 2, out)
+    lo, hi = pairs[:, 0], pairs[:, 1]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4),
+                            jnp.bitwise_and(lo, jnp.int8(0x0F)))
+    return Int4Tensor(q_packed=packed.astype(jnp.int8), scale=scale,
+                      in_dim=in_dim)
+
+
 _MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_params(params: Dict[str, Any],
-                    act_quant: bool = False) -> Dict[str, Any]:
+def _quantize_matmul_weight(v: Array, bits: int, act_quant: bool,
+                            group_size: int):
+    if bits == 4:
+        return quantize_tensor_int4(v, group_size=group_size)
+    return quantize_tensor(v, axis=1, act_quant=act_quant)
+
+
+def quantize_params(params: Dict[str, Any], act_quant: bool = False,
+                    bits: int = 8, group_size: int = 128) -> Dict[str, Any]:
     """Quantize all matmul weights (+ embed/lm_head) of a llama params tree.
 
     act_quant=True additionally routes these matmuls through the int8 x int8
-    MXU kernel with on-the-fly activation quantization.
+    MXU kernel with on-the-fly activation quantization (int8 only).
+    bits=4 stores layer matmul weights as nibble-packed group-wise
+    `Int4Tensor`s; embed and lm_head stay int8 (quality-critical, few
+    bytes).
     """
+    if bits not in (4, 8):
+        raise ValueError(f"weight bits must be 4 or 8, got {bits}")
     out: Dict[str, Any] = {}
     out["embed"] = quantize_tensor(params["embed"], axis=0)  # per-row
     out["final_norm"] = params["final_norm"]
@@ -86,18 +173,21 @@ def quantize_params(params: Dict[str, Any],
     for layer in params["layers"]:
         ql = {}
         for k, v in layer.items():
-            ql[k] = (quantize_tensor(v, axis=1, act_quant=act_quant)
+            ql[k] = (_quantize_matmul_weight(v, bits, act_quant, group_size)
                      if k in _MATMUL_KEYS else v)
         out["layers"].append(ql)
     return out
 
 
 def quantize_params_streaming(params: Dict[str, Any],
-                              act_quant: bool = False) -> Dict[str, Any]:
+                              act_quant: bool = False, bits: int = 8,
+                              group_size: int = 128) -> Dict[str, Any]:
     """Like `quantize_params`, but CONSUMES the input tree: each fp weight is
-    freed as soon as its int8 replacement exists, so peak HBM is
-    fp_total + one tensor instead of fp_total + int8_total. Use when the fp
+    freed as soon as its quantized replacement exists, so peak HBM is
+    fp_total + one tensor instead of fp_total + quant_total. Use when the fp
     params barely fit (e.g. Llama-2-7B bf16 = 12.9 GB on a 16 GB chip)."""
+    if bits not in (4, 8):
+        raise ValueError(f"weight bits must be 4 or 8, got {bits}")
     out: Dict[str, Any] = {"layers": []}
     out["embed"] = quantize_tensor(params["embed"], axis=0)
     params["embed"] = None
@@ -112,7 +202,7 @@ def quantize_params_streaming(params: Dict[str, Any],
         ql = {}
         for k in list(layer.keys()):
             v = layer.pop(k)
-            ql[k] = (quantize_tensor(v, axis=1, act_quant=act_quant)
+            ql[k] = (_quantize_matmul_weight(v, bits, act_quant, group_size)
                      if k in _MATMUL_KEYS else v)
             del v
         layers[i] = None
@@ -121,19 +211,21 @@ def quantize_params_streaming(params: Dict[str, Any],
 
 
 def params_are_quantized(params: Any) -> bool:
-    """True when the pytree carries int8 QuantizedTensor weights (used by
-    the fused-decode auto heuristic: with int8 weights the weight-streaming
-    floor halves and the decode-path tradeoff shifts — RESULTS.md)."""
+    """True when the pytree carries int8/int4 quantized weights (used by
+    the fused-decode auto heuristic: with quantized weights the
+    weight-streaming floor shrinks and the decode-path tradeoff shifts —
+    RESULTS.md)."""
     found = False
 
     def visit(x):
         nonlocal found
-        if isinstance(x, QuantizedTensor):
+        if isinstance(x, (QuantizedTensor, Int4Tensor)):
             found = True
         return x
 
     jax.tree_util.tree_map(
-        visit, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+        visit, params,
+        is_leaf=lambda x: isinstance(x, (QuantizedTensor, Int4Tensor)))
     return found
 
 

@@ -1,0 +1,151 @@
+"""Int4 group-wise weight quantization: packing, error bounds, matmul
+parity, end-to-end generation, and byte accounting.
+
+The reference has no weight quantization at all (its quantization is
+fake-quant on the KV cache, dynamic_quantization.py:120-126); int4 weights
+are a north-star perf lever — batch-1 decode is weight-streaming-bound, so
+halving the int8 footprint again raises the tok/s ceiling proportionally.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_kv_cache_compression_tpu import (CompressionConfig,
+                                               tiny_test_model)
+from realtime_kv_cache_compression_tpu.models import llama
+from realtime_kv_cache_compression_tpu.models.quantized_params import (
+    Int4Tensor, params_are_quantized, quantize_params,
+    quantize_params_streaming, quantize_tensor_int4)
+
+
+def test_pack_unpack_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(-7, 8, size=(64, 16)).astype(np.int8)
+    pairs = codes.reshape(32, 2, 16)
+    packed = ((pairs[:, 1].astype(np.int8) << 4)
+              | (pairs[:, 0] & np.int8(0x0F))).astype(np.int8)
+    t = Int4Tensor(q_packed=jnp.asarray(packed),
+                   scale=jnp.ones((1, 16), jnp.float32), in_dim=64)
+    np.testing.assert_array_equal(np.asarray(t.unpack_codes()), codes)
+
+
+def test_quantize_error_bounded_by_half_scale():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32))
+    t = quantize_tensor_int4(w, group_size=128)
+    assert t.q_packed.shape == (128, 48)
+    assert t.scale.shape == (2, 48)
+    deq = np.asarray(t.dequantize(jnp.float32))
+    scale_full = np.repeat(np.asarray(t.scale), 128, axis=0)
+    # Symmetric rounding: |w - deq| <= scale/2 everywhere (no clipping,
+    # since scale = absmax/7 covers the whole range).
+    assert np.all(np.abs(np.asarray(w) - deq) <= scale_full / 2 + 1e-6)
+
+
+def test_group_scales_beat_per_channel_on_nonstationary_rows():
+    # Rows 0..127 tiny, rows 128..255 large: one scale per column wastes
+    # the int4 range on the small half; group scales don't.
+    rng = np.random.default_rng(2)
+    w = np.concatenate([rng.normal(size=(128, 32)) * 0.01,
+                        rng.normal(size=(128, 32)) * 10.0]).astype(np.float32)
+    w = jnp.asarray(w)
+    grouped = quantize_tensor_int4(w, group_size=128)
+    single = quantize_tensor_int4(w, group_size=256)
+    # On the small-magnitude half, a whole-column scale burns the int4
+    # range on the other half's outliers; group scales resolve it.
+    err_g = float(jnp.abs(w - grouped.dequantize(jnp.float32))[:128].mean())
+    err_s = float(jnp.abs(w - single.dequantize(jnp.float32))[:128].mean())
+    # (err_s is bounded by the small values' own magnitude — they collapse
+    # to code 0 under the whole-column scale — so the measured gap is ~8x.)
+    assert err_g < err_s / 5
+
+
+def test_matmul_matches_dequantized_reference():
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(256, 40)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(3, 256)).astype(np.float32))
+    t = quantize_tensor_int4(w, group_size=64)
+    got = llama._matmul(x, t)
+    want = x @ t.dequantize(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # Leading batch dims route through the einsum path unchanged.
+    x3 = x.reshape(1, 3, 256)
+    got3 = llama._matmul(x3, t)
+    np.testing.assert_allclose(np.asarray(got3)[0], np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_indivisible_group_falls_back_to_single_group():
+    w = jnp.asarray(np.random.default_rng(4).normal(size=(100, 8)),
+                    jnp.float32)
+    t = quantize_tensor_int4(w, group_size=128)
+    assert t.scale.shape == (1, 8)
+    assert t.group_size == 100
+
+
+def test_odd_in_dim_rejected():
+    with pytest.raises(ValueError):
+        quantize_tensor_int4(jnp.ones((33, 8)), group_size=128)
+
+
+def test_quantize_params_bits4_generates_and_counts_bytes():
+    mcfg = tiny_test_model()
+    params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+    q4 = quantize_params(params, bits=4, group_size=64)
+    assert params_are_quantized(q4)
+    layer = q4["layers"][0]
+    assert isinstance(layer["wq"], Int4Tensor)
+    # embed / lm_head stay int8 (per-row / per-channel).
+    assert not isinstance(q4["embed"], Int4Tensor)
+    # Packed layer weight is half the int8 footprint.
+    q8 = quantize_params(params, bits=8)
+    assert (layer["wq"].q_packed.size
+            == q8["layers"][0]["wq"].q.size // 2)
+
+    ccfg = CompressionConfig(num_layers=mcfg.num_layers,
+                             high_precision_bits=8, medium_precision_bits=4,
+                             low_precision_bits=2)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0,
+                             mcfg.vocab_size)
+    toks, stats = llama.generate(q4, ids, mcfg, ccfg, max_new_tokens=4)
+    assert toks.shape == (1, 4)
+    assert jnp.all((toks >= 0) & (toks < mcfg.vocab_size))
+
+
+def test_streaming_matches_functional_bits4():
+    mcfg = tiny_test_model()
+    params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+    q_fn = quantize_params(params, bits=4)
+    q_st = quantize_params_streaming(
+        llama.init_params(jax.random.PRNGKey(0), mcfg), bits=4)
+    for a, b in zip(jax.tree_util.tree_leaves(q_fn),
+                    jax.tree_util.tree_leaves(q_st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int4_logits_track_fp_on_tiny_model():
+    # A random-weight tiny model's argmax is fragile to ANY quant noise
+    # (near-flat logits: even int8 only agrees ~50%), so assert the right
+    # invariant instead: int4 logits correlate strongly with fp, and the
+    # precision ladder orders correctly (int8 tracks tighter than int4).
+    mcfg = tiny_test_model()
+    params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 48), 0,
+                             mcfg.vocab_size)
+    lf, _ = llama.prefill_uncompressed(params, ids, mcfg)
+    lq4, _ = llama.prefill_uncompressed(
+        quantize_params(params, bits=4, group_size=64), ids, mcfg)
+    lq8, _ = llama.prefill_uncompressed(
+        quantize_params(params, bits=8), ids, mcfg)
+    lf = np.asarray(lf, np.float64).ravel()
+
+    def corr(lx):
+        return float(np.corrcoef(lf, np.asarray(lx, np.float64).ravel())[0,
+                                                                         1])
+
+    c4, c8 = corr(lq4), corr(lq8)
+    assert c4 > 0.7, f"int4 logit corr {c4}"
+    assert c8 > c4, f"precision ladder inverted: int8 {c8} <= int4 {c4}"
