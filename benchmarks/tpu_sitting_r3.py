@@ -15,6 +15,11 @@ Phases (VERDICT round-2 #4, #7):
                  T-token verify forward vs T ∈ {1,2,5,9} over a 4K
                  compressed cache, int8 weights. Weight-streaming-bound
                  decode predicts near-flat cost in T.
+  int4_decode    int4 vs int8 weights at 7B batch 1 (weight-bound): does
+                 the fused nibble unpack realize the halved streaming
+                 floor, or does XLA materialize the bf16 weight?
+  fused_auto_check  resolve_fused_decode vs both forced arms in the
+                 regimes it rules on (VERDICT #5 done-criterion: ≤2%).
   spec_e2e       end-to-end speculative vs greedy decode on the trained
                  recall model (REAL prompt-lookup acceptance, outputs
                  asserted token-identical) — experiments/speculative_benchmark.
@@ -203,6 +208,126 @@ def verify_step():
                   f"({ms / t_tokens:.2f} ms/token)", flush=True)
         out["models"][label] = rows
         del params, state, logits
+        free()
+    return out
+
+
+# ---------------------------------------------------------------------------
+def _decode_ms(mcfg, ccfg, params, seq, new, batch=1, use_fused=None):
+    """Warm + time a full scanned decode; returns (ms/step, tok/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.utils.timing import (measure_rtt,
+                                                                timed)
+
+    rtt = measure_rtt()
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0,
+                             mcfg.vocab_size)
+    prefill = jax.jit(lambda p, i: llama.prefill_compressed(
+        p, i, mcfg, ccfg, max_decode_len=new, use_flash=True))
+    loop = jax.jit(lambda p, t, s: llama.decode_loop(
+        p, t, s, new - 1, mcfg, ccfg, use_fused=use_fused))
+    logits, state, _ = prefill(params, ids)
+    tok = jnp.argmax(logits, -1)
+    toks, _ = loop(params, tok, state)
+    float(jnp.asarray(toks, jnp.float32).sum())
+    t_dec, _ = timed(lambda: float(jnp.asarray(
+        loop(params, tok, state)[0], jnp.float32).sum()), rtt, reps=3)
+    steps = new - 1
+    return t_dec / steps * 1e3, batch * steps / t_dec
+
+
+@phase("int4_decode")
+def int4_decode():
+    """Weight-streaming economics of int4 vs int8 weights at 7B, batch 1.
+
+    Decode at batch 1 is weight-bound: int8 7B reads ~6.6 GB/step, int4
+    ~3.4 GB. If the nibble unpack fuses into the dot operand stream (the
+    design claim in models/llama.py:_matmul), step time should drop toward
+    the halved floor; if XLA materializes the bf16 weight instead, it will
+    be SLOWER than int8 — this phase is the honest check."""
+    import dataclasses
+
+    import jax
+
+    import realtime_kv_cache_compression_tpu as rtc
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params_streaming)
+    from realtime_kv_cache_compression_tpu.utils.memory import (
+        model_footprint_mb)
+
+    out = {"arms": {}}
+    seq, new = 4096, 64
+    mcfg = dataclasses.replace(rtc.LLAMA2_7B,
+                               max_position_embeddings=seq + new + 16)
+    ccfg = rtc.CompressionConfig(num_layers=mcfg.num_layers,
+                                 high_precision_bits=8,
+                                 medium_precision_bits=4,
+                                 low_precision_bits=2)
+    for bits in (8, 4):
+        params = quantize_params_streaming(
+            llama.init_params(jax.random.PRNGKey(0), mcfg), bits=bits)
+        pmb = model_footprint_mb(params)
+        arm = {"params_mb": round(pmb)}
+        for fused_label, fused in (("fused", True), ("xla", False)):
+            ms, toks = _decode_ms(mcfg, ccfg, params, seq, new,
+                                  use_fused=fused)
+            arm[fused_label] = {"ms_per_step": round(ms, 2),
+                                "tok_s": round(toks, 1)}
+            print(f"  int{bits} {fused_label}: {ms:.2f} ms/step "
+                  f"({toks:.0f} tok/s), params {pmb:.0f} MB", flush=True)
+        out["arms"][f"int{bits}"] = arm
+        del params
+        free()
+    return out
+
+
+@phase("fused_auto_check")
+def fused_auto_check():
+    """resolve_fused_decode vs both forced arms in the regime it rules on:
+    int8-weight TinyLlama batch 1 (the one measured XLA-wins case) and the
+    bf16 twin (fused wins). Done-criterion: auto within 2% of the better
+    arm (VERDICT round-2 #5)."""
+    import dataclasses
+
+    import jax
+
+    import realtime_kv_cache_compression_tpu as rtc
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params_streaming)
+
+    out = {"regimes": {}}
+    seq, new = 4096, 64
+    mcfg = dataclasses.replace(rtc.TINYLLAMA_1_1B,
+                               max_position_embeddings=seq + new + 16)
+    ccfg = rtc.CompressionConfig(num_layers=mcfg.num_layers,
+                                 high_precision_bits=8,
+                                 medium_precision_bits=4,
+                                 low_precision_bits=2)
+    for label, bits in (("tinyllama_int8_b1", 8), ("tinyllama_bf16_b1", 16)):
+        params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+        if bits == 8:
+            params = quantize_params_streaming(params)
+        auto = llama.resolve_fused_decode(params, mcfg, batch=1)
+        row = {"auto_resolves_to": "fused" if auto else "xla"}
+        for arm_label, fused in (("fused", True), ("xla", False)):
+            ms, toks = _decode_ms(mcfg, ccfg, params, seq, new,
+                                  use_fused=fused)
+            row[arm_label] = {"ms_per_step": round(ms, 2),
+                              "tok_s": round(toks, 1)}
+            print(f"  {label} {arm_label}: {ms:.2f} ms/step", flush=True)
+        best = min(row["fused"]["ms_per_step"], row["xla"]["ms_per_step"])
+        auto_ms = row["fused" if auto else "xla"]["ms_per_step"]
+        row["auto_within_pct"] = round(100 * (auto_ms / best - 1), 2)
+        row["auto_ok"] = row["auto_within_pct"] <= 2.0
+        print(f"  {label}: auto={row['auto_resolves_to']} "
+              f"within {row['auto_within_pct']}% of best", flush=True)
+        out["regimes"][label] = row
+        del params
         free()
     return out
 
@@ -454,8 +579,9 @@ def http_serving():
 
 
 # ---------------------------------------------------------------------------
-ALL = ["flash_d128", "verify_step", "spec_e2e", "prefix_cache",
-       "chunked_hol", "moe_decode", "http_serving"]
+ALL = ["flash_d128", "verify_step", "int4_decode", "fused_auto_check",
+       "spec_e2e", "prefix_cache", "chunked_hol", "moe_decode",
+       "http_serving"]
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ALL
