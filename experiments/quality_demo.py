@@ -353,6 +353,24 @@ def main():
                 print(line, flush=True)
             results[f"{task}_filler{filler}"] = ctx
 
+    # Traceability: every committed artifact row must be reproducible from
+    # the artifact alone (VERDICT round-2 #3).
+    results["meta"] = {
+        "argv": sys.argv[1:],
+        "platform": args.platform,
+        "tasks": tasks,
+        "train_fillers": fillers,
+        "eval_fillers": eval_fillers,
+        "steps": args.steps,
+        "batch": args.batch,
+        "payload": args.payload,
+        "lr": args.lr,
+        "model_layers": args.model_layers,
+        "eval_samples": args.eval_samples,
+        "min_baseline": args.min_baseline,
+        "flash": args.flash,
+        "date": time.strftime("%Y-%m-%d %H:%M"),
+    }
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "quality_demo.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -15,14 +15,14 @@ from realtime_kv_cache_compression_tpu.parallel.multihost import (
     launch_local_sim)
 
 
-@pytest.mark.slow
+@pytest.mark.slow  # ~85 s: spawns 2 real processes, each compiles its own
 def test_two_process_spmd_and_serving_token_identity():
     out = launch_local_sim(num_processes=2, local_devices=4, arm="both")
     assert "MULTIHOST_SIM_OK" in out
     assert "token match = True" in out
 
 
-@pytest.mark.slow
+@pytest.mark.slow  # ~70 s: 4 processes x 2 devices, SPMD arm only
 def test_four_process_mesh():
     out = launch_local_sim(num_processes=4, local_devices=2, arm="spmd")
     assert "MULTIHOST_SIM_OK" in out
