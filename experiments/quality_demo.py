@@ -72,9 +72,17 @@ def make_batch(rng_key, batch, payload_len, filler_len, vocab, task):
 
 
 def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
-                       lr=3e-3, log_every=200, use_flash=False):
+                       lr=3e-3, log_every=200, use_flash=False,
+                       curriculum_frac=0.4):
     """Train on the task with filler length cycling over the sweep values
-    (so long-context eval is in-distribution)."""
+    (so long-context eval is in-distribution).
+
+    Curriculum: the first `curriculum_frac` of steps use only the SHORTEST
+    filler. Measured necessity (round 3): multidoc's 2-hop retrieval never
+    forms when 3/4 of gradient steps are at lengths where the mechanism
+    doesn't yet exist (loss pinned at ln(doc_range) ≈ 3.47 through 800
+    mixed-length steps); once the mechanism forms at short fillers, cycling
+    the full sweep teaches length robustness."""
     import jax
 
     from realtime_kv_cache_compression_tpu.models import llama, train
@@ -88,9 +96,12 @@ def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
         p, o, ids, mcfg, optimizer, use_flash=use_flash, loss_mask=m))
     key = jax.random.PRNGKey(42)
     loss = None
+    filler_lens = sorted(filler_lens)
+    warm = int(steps * curriculum_frac)
     for i in range(steps):
         key, sub = jax.random.split(key)
-        filler = filler_lens[i % len(filler_lens)]
+        filler = (filler_lens[0] if i < warm
+                  else filler_lens[i % len(filler_lens)])
         ids, prompt_len, _ = make_batch(sub, batch, payload_len, filler,
                                         mcfg.vocab_size, task)
         # Supervise only the recalled span (SFT-style): at long fillers an
