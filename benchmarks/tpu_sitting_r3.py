@@ -539,8 +539,19 @@ def http_serving():
         with urllib.request.urlopen(req, timeout=600) as r:
             return json.loads(r.read())
 
-    # Warm compile paths.
-    post({"prompt": [1] * 512, "max_tokens": 4})
+    # Warm ALL compile paths the load will hit: prompts are padded to
+    # context_len (one prefill shape), but batched admission pads the
+    # BATCH to a power of two — 4 concurrent clients exercise admission
+    # batches 1, 2, and 4, each a distinct XLA program. Warm them
+    # concurrently so the timed window measures serving, not compiles.
+    warm_threads = [threading.Thread(
+        target=lambda: post({"prompt": [1] * 512, "max_tokens": 4}))
+        for _ in range(4)]
+    for t in warm_threads:
+        t.start()
+    for t in warm_threads:
+        t.join()
+    post({"prompt": [2] * 512, "max_tokens": 4})
     n_clients, per_client, max_tokens = 4, 6, 48
     results = []
     t0 = time.time()

@@ -277,6 +277,12 @@ def main():
                                    high_precision_bits=4,
                                    medium_precision_bits=2,
                                    low_precision_bits=2),
+        # Quantization-only (retention 1.0): the recommended preset for
+        # dense contexts (multidoc) where every token is a potential answer
+        # and importance-guided dropping is the wrong tool — still ~0.75
+        # physical savings from the 8/4/2 packed tiers alone.
+        "quant_only_8_4_2": cc(early_layer_ratio=1.0, middle_layer_ratio=1.0,
+                               later_layer_ratio=1.0),
         "position_only_scores": cc(alpha=0.0, beta=0.85, gamma=0.15),
         # Attention-mass-dominant scoring: at long contexts the default
         # beta position bias drowns early-positioned answers; alpha is the
