@@ -6,11 +6,20 @@ recall tasks — the payload must survive compressed inference for recall to
 succeed — then measures accuracy through the real compressed path across
 compression strengths, bit tiers, and context lengths.
 
-Task shapes (>= 2, per VERDICT #5):
+Task shapes (>= 2, per VERDICT #5; round-4 adds needle-at-depth):
   recall    [payload][filler][SEP] -> reproduce the payload.
   multidoc  [m0 doc0 m1 doc1 ...][filler][SEP][m_q] -> reproduce the queried
             doc (multi-document-QA-shaped: the model must retrieve one of
             several competing payloads by its marker).
+  needle    [filler_pre][MARK][payload][filler_post][SEP][MARK] -> reproduce
+            the payload. The payload sits at --depths fraction of the
+            filler — OUTSIDE the prompt-region floor (first min(S/5,128)
+            positions) and OUTSIDE the recency window (last T/4), so
+            neither positional safety net can keep it: only an
+            attention-guided importance term can (round-3 VERDICT task #1
+            — the round-3 longctx artifact was carried by the floor;
+            position_only_scores scored 1.000 there, so it no longer
+            discriminated the attention mechanism).
 
 Why this matters: random-weight models score 0 on any text metric, and this
 environment has no network for real checkpoints. This demo yields genuine
@@ -32,8 +41,14 @@ SEP = 1
 N_DOCS = 4
 
 
-def make_batch(rng_key, batch, payload_len, filler_len, vocab, task):
-    """Returns (full_ids, prompt_len, payload[batch, payload_len])."""
+def make_batch(rng_key, batch, payload_len, filler_len, vocab, task,
+               depth=0.5):
+    """Returns (full_ids, prompt_len, payload[batch, payload_len]).
+
+    `depth` applies to the needle task only: the payload's position as a
+    fraction of the filler (0 = head, 1 = tail). Shapes are depth-invariant
+    (pre + post = filler_len), so one compiled program serves every depth.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +60,29 @@ def make_batch(rng_key, batch, payload_len, filler_len, vocab, task):
         sep_col = jnp.full((batch, 1), SEP, jnp.int32)
         full = jnp.concatenate([payload, filler, sep_col, payload], axis=1)
         return full, payload_len + filler_len + 1, payload
+    if task == "needle":
+        # [filler_pre][MARK][payload][filler_post][SEP][MARK][payload].
+        # MARK (= first doc-marker id, unused by this task otherwise) is
+        # unique in the sequence; payload tokens come from a reserved range
+        # (per-row permutation, no repeats) and filler from a disjoint
+        # range, so the retrieval chain (induction: MARK -> token after the
+        # earlier MARK -> ...) is unambiguous. The model must find the
+        # needle by CONTENT; nothing positional marks it.
+        doc_range = N_DOCS * payload_len
+        mid = lo + doc_range
+        assert mid < vocab - 2, "vocab too small for distinct needle tokens"
+        perm = jax.vmap(lambda k: jax.random.permutation(k, doc_range))(
+            jax.random.split(k1, batch))
+        payload = (lo + perm[:, :payload_len]).astype(jnp.int32)
+        pre = int(round(depth * filler_len))
+        post = filler_len - pre
+        f_pre = jax.random.randint(k2, (batch, pre), mid, vocab - 2)
+        f_post = jax.random.randint(k3, (batch, post), mid, vocab - 2)
+        mark = jnp.full((batch, 1), 2, jnp.int32)
+        sep_col = jnp.full((batch, 1), SEP, jnp.int32)
+        full = jnp.concatenate(
+            [f_pre, mark, payload, f_post, sep_col, mark, payload], axis=1)
+        return full, filler_len + payload_len + 3, payload
     # multidoc: marker-tagged docs, query by marker after the filler. Doc
     # tokens are a per-row PERMUTATION of a reserved range (no token occurs
     # twice anywhere in the prompt) and filler draws from a disjoint range,
@@ -94,16 +132,27 @@ def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
     opt_state = optimizer.init(params)
     step_fn = jax.jit(lambda p, o, ids, m: train.train_step(
         p, o, ids, mcfg, optimizer, use_flash=use_flash, loss_mask=m))
+    import numpy as np
+
     key = jax.random.PRNGKey(42)
     loss = None
     filler_lens = sorted(filler_lens)
     warm = int(steps * curriculum_frac)
+    # Needle: CONTINUOUS random payload depth per step. Measured necessity:
+    # a 6-point depth cycle let the model memorize the grid positions
+    # instead of learning content-based retrieval — training loss 0.001,
+    # yet eval at held-out depths 0.25/0.5 scored ~0.04 while the trained
+    # depth 0.75 scored 0.996. A fresh uniform depth every step leaves
+    # position useless as a feature.
+    depth_rng = np.random.RandomState(7)
     for i in range(steps):
         key, sub = jax.random.split(key)
         filler = (filler_lens[0] if i < warm
                   else filler_lens[i % len(filler_lens)])
+        depth = (float(depth_rng.uniform(0.05, 0.95)) if task == "needle"
+                 else 0.5)
         ids, prompt_len, _ = make_batch(sub, batch, payload_len, filler,
-                                        mcfg.vocab_size, task)
+                                        mcfg.vocab_size, task, depth=depth)
         # Supervise only the recalled span (SFT-style): at long fillers an
         # unmasked mean loss is ~100% unpredictable filler and the payload
         # gradient vanishes with 1/S.
@@ -119,7 +168,7 @@ def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
 
 
 def recall_accuracy(params, mcfg, ccfg, task, n_eval, payload_len, filler_len,
-                    seed=123, use_flash=False, eval_batch=None):
+                    seed=123, use_flash=False, eval_batch=None, depth=0.5):
     """Exact-token recall rate through prefill+decode (compressed if ccfg).
 
     `eval_batch` chunks the eval samples (long contexts: the baseline's
@@ -132,7 +181,8 @@ def recall_accuracy(params, mcfg, ccfg, task, n_eval, payload_len, filler_len,
 
     key = jax.random.PRNGKey(seed + filler_len)
     ids, prompt_len, payload = make_batch(key, n_eval, payload_len,
-                                          filler_len, mcfg.vocab_size, task)
+                                          filler_len, mcfg.vocab_size, task,
+                                          depth=depth)
     prompt = ids[:, :prompt_len]
     eval_batch = eval_batch or n_eval
     outs, summary = [], None
@@ -179,6 +229,9 @@ def main():
                     help="eval-only filler list (default: same as --fillers;"
                          " pass longer values to probe length extrapolation"
                          " beyond the trained sweep)")
+    ap.add_argument("--depths", default="0.25,0.5,0.75",
+                    help="needle-task payload depths (fractions of the "
+                         "filler) — each becomes its own eval row")
     ap.add_argument("--flash", action="store_true",
                     help="flash attention everywhere: our prompt-mass flash"
                          " kernel in eval, the library flash kernel (which"
@@ -288,6 +341,17 @@ def main():
         # beta position bias drowns early-positioned answers; alpha is the
         # term that actually finds them.
         "attention_heavy": cc(alpha=0.8, beta=0.1, gamma=0.1),
+        # Observation-window (query-guided) importance: the alpha term uses
+        # the attention each token RECEIVES from the last-W prefill queries
+        # (SnapKV-style) instead of / combined with the reference's
+        # prompt-mass. The ONLY mechanism that can keep a needle planted at
+        # mid-context depth — outside the prompt floor and the recency
+        # window. Pool dilates sharp retrieval hits across the needle span.
+        "query_guided": cc(importance_source="query",
+                           alpha=0.8, beta=0.1, gamma=0.1,
+                           query_mass_pool=2 * args.payload + 4),
+        "query_both": cc(importance_source="both",
+                         query_mass_pool=2 * args.payload + 4),
     }
     if args.arms:
         keep = set(args.arms.split(","))
@@ -324,7 +388,14 @@ def main():
             task_arms["balanced_int8_weights"] = cc()
             arm_params["balanced_int8_weights"] = quantize_params(params)
 
+        depths = ([float(d) for d in args.depths.split(",")]
+                  if task == "needle" else [0.5])
         for filler in eval_fillers:
+          for depth in depths:
+            row_key = f"{task}_filler{filler}" + (
+                f"_d{int(round(depth * 100))}" if task == "needle" else "")
+            tag = f"[{task} f={filler}" + (
+                f" d={depth}]" if task == "needle" else "]")
             ctx = {}
             # Informativeness gate (round-3): a compressed-vs-baseline row
             # only measures compression if the baseline can do the task.
@@ -335,19 +406,20 @@ def main():
                 base = recall_accuracy(arm_params["baseline_fp"], mcfg, None,
                                        task, args.eval_samples, args.payload,
                                        filler, use_flash=args.flash,
-                                       eval_batch=args.eval_batch)
+                                       eval_batch=args.eval_batch,
+                                       depth=depth)
                 base.pop("compression", None)
-                print(f"[{task} f={filler}] baseline_fp: "
+                print(f"{tag} baseline_fp: "
                       f"acc={base['token_accuracy']:.3f} "
                       f"em={base['exact_match']:.3f}", flush=True)
                 if base["token_accuracy"] < args.min_baseline:
-                    print(f"[{task} f={filler}] baseline "
+                    print(f"{tag} baseline "
                           f"{base['token_accuracy']:.3f} < "
                           f"{args.min_baseline}: row dropped as "
                           "uninformative (train a deeper/longer model)",
                           flush=True)
                     results.setdefault("uninformative_rows", {})[
-                        f"{task}_filler{filler}"] = {"baseline_fp": base}
+                        row_key] = {"baseline_fp": base}
                     continue
                 ctx["baseline_fp"] = base
             for name, ccfg in task_arms.items():
@@ -356,9 +428,9 @@ def main():
                 r = recall_accuracy(arm_params[name], mcfg, ccfg, task,
                                     args.eval_samples, args.payload, filler,
                                     use_flash=args.flash,
-                                    eval_batch=args.eval_batch)
+                                    eval_batch=args.eval_batch, depth=depth)
                 comp = r.pop("compression", None)
-                line = (f"[{task} f={filler}] {name}: "
+                line = (f"{tag} {name}: "
                         f"acc={r['token_accuracy']:.3f} "
                         f"em={r['exact_match']:.3f}")
                 if comp:
@@ -368,7 +440,7 @@ def main():
                     r["memory_savings"] = comp["avg_memory_savings"]
                 ctx[name] = r
                 print(line, flush=True)
-            results[f"{task}_filler{filler}"] = ctx
+            results[row_key] = ctx
 
     # Traceability: every committed artifact row must be reproducible from
     # the artifact alone (VERDICT round-2 #3).
@@ -385,6 +457,7 @@ def main():
         "model_layers": args.model_layers,
         "eval_samples": args.eval_samples,
         "min_baseline": args.min_baseline,
+        "depths": args.depths,
         "flash": args.flash,
         "date": time.strftime("%Y-%m-%d %H:%M"),
     }

@@ -58,6 +58,7 @@ def compress_layer_kv(
     shard_offset: int = 0,
     total_len: int = None,
     minmax: tuple = None,
+    query_mass: Array = None,
 ) -> Tuple[CompressedLayerCache, Dict[str, Array]]:
     """Compress one layer's prefill K/V into packed tier pools.
 
@@ -87,6 +88,9 @@ def compress_layer_kv(
       total_len: global sequence length (with axis_name/chunking).
       minmax: optional ([B,1], [B,1]) global mass min/max override — the
         single-device chunked reference path computes these once globally.
+      query_mass: optional [B, S] observation-window mass
+        (ops.attention.query_attention_mass) feeding the alpha term when
+        cfg.importance_source is "query"/"both".
 
     Returns:
       (cache, stats) — `cache` is the layer's `CompressedLayerCache`; `stats`
@@ -107,7 +111,8 @@ def compress_layer_kv(
     scores = importance_scores(prompt_mass, layer_idx, seq_len, prompt_len,
                                cfg, lengths=lengths, prompt_lens=prompt_lens,
                                position_offset=shard_offset, total_len=total,
-                               minmax=minmax, axis_name=axis_name)
+                               minmax=minmax, axis_name=axis_name,
+                               query_mass=query_mass)
 
     # Step 3: precision labels + stats.
     labels, prec_stats = assign_precision(scores, cfg)

@@ -138,6 +138,33 @@ class CompressionConfig:
     # behavior).
     prompt_region_floor: float = 1.0
 
+    # Observation-window (query-guided) importance source (beyond the
+    # reference; SnapKV/H2O-style). The reference's attention term scores
+    # token i by how much *i as a query* attends to the prompt region
+    # (token_importance.py:21-47) — which cannot find a payload planted at
+    # mid-context depth: nothing about a needle makes it attend to the
+    # prompt. What CAN find it is the attention the needle *receives* from
+    # the trailing queries (the question/instruction at the end of the
+    # prompt): retrieval heads at the last positions point straight at the
+    # span they need. importance_source selects the mass feeding the alpha
+    # term:
+    #   "prompt" (default): reference semantics — prompt attention mass.
+    #   "query":  observation-window mass — attention each token receives
+    #             from the last query_window prefill queries.
+    #   "both":   elementwise max of the two normalized masses (protects
+    #             prompt-attending tokens AND query-attended spans).
+    # query_window: window size W (0 → auto: max(16, min(256, T // 16))).
+    # query_mass_pool: max-pool width (tokens) applied to the query mass
+    # before normalization. Retrieval attention in trained models is sharp
+    # (often one or two positions per span); pooling dilates a hit over its
+    # neighborhood so whole spans survive, not just the attended token
+    # (SnapKV's pooling, for the same reason). 0 disables.
+    # Supported in one-shot and chunked prefill; the sequence-sharded
+    # (ring-attention) path supports "prompt" only for now.
+    importance_source: str = "prompt"
+    query_window: int = 0
+    query_mass_pool: int = 0
+
     # Attention-sink anchors (beyond the reference; AnTKV/StreamingLLM-style):
     # the first `sink_tokens` GLOBAL positions are boosted to the top of the
     # importance ranking, so they are always selected and land in the HIGH
@@ -208,6 +235,13 @@ class CompressionConfig:
         if self.position_bias_mode not in ("recency", "log"):
             raise ValueError(
                 f"unknown position_bias_mode {self.position_bias_mode!r}")
+        if self.importance_source not in ("prompt", "query", "both"):
+            raise ValueError(
+                f"unknown importance_source {self.importance_source!r}")
+        if self.query_window < 0:
+            raise ValueError("query_window must be >= 0")
+        if self.query_mass_pool < 0:
+            raise ValueError("query_mass_pool must be >= 0")
         if self.recency_window < 0:
             raise ValueError("recency_window must be >= 0")
         if not (0.0 <= self.prompt_region_floor <= 1.0):
@@ -278,6 +312,14 @@ class CompressionConfig:
         head: a short sequence must not ramp from position 0 (that
         reintroduces the log bias's early-token tax)."""
         w = self.recency_window or max(16, min(2048, total_len // 4))
+        return max(1, min(w, total_len))
+
+    def query_window_for(self, total_len: int) -> int:
+        """Static observation-window size W (importance_source != "prompt").
+        Auto (0): T/16, clamped to [16, 256] — wide enough to cover a
+        trailing question/instruction, narrow enough that the dense
+        W x S mass computation stays negligible next to prefill."""
+        w = self.query_window or max(16, min(256, total_len // 16))
         return max(1, min(w, total_len))
 
     def prompt_floor_length(self, prompt_len: int) -> int:

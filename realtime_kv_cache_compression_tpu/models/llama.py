@@ -111,13 +111,14 @@ def _matmul(x: Array, w) -> Array:
     the weight reads HBM at 1 byte/element — then the f32 scale is applied
     to the [..., out] result.
 
-    For `Int4Tensor` (group-wise scales along the reduction axis), the
-    group structure becomes a batch axis of the dot: y_g = x_g @ q_g runs
-    over int4 codes (unpack = two shifts + interleave, fused into the
-    operand stream at 0.5 bytes/element HBM), then the [group, out] scale
-    multiplies the per-group partials before the sum over groups — the
-    scale never touches the [in, out]-sized operand, so nothing
-    weight-sized materializes in bf16.
+    For `Int4Tensor` (group-wise scales along the reduction axis), the hot
+    path is the fused Pallas dequant-matmul (ops/pallas/int4_matmul.py):
+    the half-split nibble unpack + group-scale dequant run on the
+    VMEM-resident block inside the kernel, so HBM reads stay at the packed
+    0.5 bytes/element. Measured necessity (benchmarks/RESULTS.md r3): XLA
+    materialized the unpacked weight instead — 220.6 ms/step at 7B batch 1,
+    16x WORSE than int8. Off TPU the grouped-einsum XLA form remains (the
+    kernel would run interpreted).
     """
     from .quantized_params import Int4Tensor, QuantizedTensor
 
@@ -129,6 +130,9 @@ def _matmul(x: Array, w) -> Array:
                     preferred_element_type=jnp.float32)
         return (y * w.scale[None, :]).astype(x.dtype)
     if isinstance(w, Int4Tensor):
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas.int4_matmul import int4_matmul_tensor
+            return int4_matmul_tensor(x, w)
         n_g = w.scale.shape[0]
         if n_g == 1:
             y = jnp.dot(x, w.unpack_codes().astype(x.dtype),
@@ -313,6 +317,9 @@ def prefill_layers_compressed(
     """
     b, s = h.shape[:2]
     caches, recents, pools, all_stats = [], [], [], []
+    need_qmass = ccfg.importance_source != "prompt"
+    lengths = (token_valid.sum(axis=-1).astype(jnp.int32)
+               if (need_qmass and token_valid is not None) else None)
     for i, layer in enumerate(layer_params):
         layer_idx = layer_offset + i
         x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
@@ -321,10 +328,21 @@ def prefill_layers_compressed(
         k = apply_rope(k, cos, sin)
         attn_out, prompt_mass = _prefill_attention(q, k, v, prompt_len,
                                                    use_flash, prompt_lens)
+        qmass = None
+        if need_qmass:
+            # Observation-window side-channel (config.importance_source):
+            # attention each token receives from the last-W queries — the
+            # signal that finds needle-at-depth content. Dense but tiny:
+            # W x S per head vs prefill's S x S-equivalent flash work.
+            from ..ops.attention import query_attention_mass
+            qmass = query_attention_mass(
+                q, k, ccfg.query_window_for(s), lengths=lengths,
+                pool=ccfg.query_mass_pool)
 
         cache, stats = compress_layer_kv(k, v, prompt_mass, layer_idx, ccfg,
                                          cfg, token_valid=token_valid,
-                                         prompt_lens=prompt_lens)
+                                         prompt_lens=prompt_lens,
+                                         query_mass=qmass)
         caches.append(cache)
         all_stats.append(stats)
         recents.append(init_recent_cache(b, max_decode_len, cfg))
@@ -509,21 +527,36 @@ def prefill_uncompressed(
 class ChunkedPrefillState:
     """Carry between prefill chunks: per-layer K/V buffers filled up to
     `offset`, the per-layer prompt-mass side-channel, and the hidden state
-    at each row's final position (captured by the chunk containing it)."""
+    at each row's final position (captured by the chunk containing it).
+    With query-guided importance (config.importance_source != "prompt"),
+    `q_tails` additionally buffers each layer's observation-window query
+    rows (the last W valid positions per row) so the finish pass can
+    compute the query mass against the completed K buffers."""
 
     k_bufs: Tuple[Array, ...]   # per layer [B, S, H_kv, D]
     v_bufs: Tuple[Array, ...]
     masses: Tuple[Array, ...]   # per layer [B, S] float32
     last_h: Array               # [B, hidden]
     offset: Array               # scalar int32: next write position
+    q_tails: Tuple[Array, ...] = ()  # per layer [B, W, H_q, D] (optional)
 
 
-def prefill_chunked_init(batch: int, seq_len: int, cfg: ModelConfig
+def prefill_chunked_init(batch: int, seq_len: int, cfg: ModelConfig,
+                         ccfg: Optional[CompressionConfig] = None
                          ) -> ChunkedPrefillState:
-    """Zero-initialized chunked-prefill carry for a [batch, seq_len] bucket."""
+    """Zero-initialized chunked-prefill carry for a [batch, seq_len] bucket.
+
+    `ccfg` is needed only when it selects query-guided importance (the
+    carry then includes the per-layer observation-window query buffers)."""
     dtype = jnp.dtype(cfg.dtype)
     kv = lambda: jnp.zeros((batch, seq_len, cfg.num_kv_heads, cfg.head_dim),
                            dtype)
+    q_tails = ()
+    if ccfg is not None and ccfg.importance_source != "prompt":
+        w = ccfg.query_window_for(seq_len)
+        q_tails = tuple(
+            jnp.zeros((batch, w, cfg.num_heads, cfg.head_dim), dtype)
+            for _ in range(cfg.num_layers))
     return ChunkedPrefillState(
         k_bufs=tuple(kv() for _ in range(cfg.num_layers)),
         v_bufs=tuple(kv() for _ in range(cfg.num_layers)),
@@ -531,6 +564,7 @@ def prefill_chunked_init(batch: int, seq_len: int, cfg: ModelConfig
                      for _ in range(cfg.num_layers)),
         last_h=jnp.zeros((batch, cfg.hidden_size), dtype),
         offset=jnp.zeros((), jnp.int32),
+        q_tails=q_tails,
     )
 
 
@@ -570,7 +604,18 @@ def prefill_chunked_step(
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
                            cfg.rope_scaling)
 
-    k_bufs, v_bufs, masses = [], [], []
+    k_bufs, v_bufs, masses, q_tails = [], [], [], []
+    tails = bool(st.q_tails)
+    if tails:
+        w_win = st.q_tails[0].shape[1]
+        # Window slot t of row b holds the query at global position
+        # len_b - W + t; capture the slots whose position falls in this
+        # chunk (same capture pattern as last_h below).
+        lens_b = (lengths.astype(jnp.int32) if lengths is not None
+                  else jnp.full((b,), s_total, jnp.int32))
+        tail_pos = lens_b[:, None] - w_win + jnp.arange(w_win)[None]  # [B,W]
+        t_in_chunk = (tail_pos >= st.offset) & (tail_pos < st.offset + c)
+        t_idx = jnp.clip(tail_pos - st.offset, 0, c - 1)
     for li, layer in enumerate(params["layers"]):
         x = rmsnorm(h, layer["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, x, cfg)
@@ -588,6 +633,12 @@ def prefill_chunked_step(
         v_bufs.append(v_buf)
         masses.append(jax.lax.dynamic_update_slice(
             st.masses[li], mass_c, (0, st.offset)))
+        if tails:
+            cand = jnp.take_along_axis(
+                q.astype(st.q_tails[li].dtype),
+                t_idx[:, :, None, None], axis=1)
+            q_tails.append(jnp.where(t_in_chunk[:, :, None, None], cand,
+                                     st.q_tails[li]))
         h = h + _matmul(attn_out.reshape(b, c, cfg.q_dim), layer["wo"])
         h = h + _mlp(layer, rmsnorm(h, layer["post_norm"], cfg.rms_norm_eps),
                      cfg)
@@ -603,7 +654,8 @@ def prefill_chunked_step(
 
     return ChunkedPrefillState(k_bufs=tuple(k_bufs), v_bufs=tuple(v_bufs),
                                masses=tuple(masses), last_h=last_h,
-                               offset=st.offset + c)
+                               offset=st.offset + c,
+                               q_tails=tuple(q_tails))
 
 
 def prefill_chunked_finish(
@@ -628,11 +680,27 @@ def prefill_chunked_finish(
         prompt_lens = jnp.clip(
             (lengths.astype(jnp.float32) * ccfg.prompt_frac).astype(
                 jnp.int32), 1, ccfg.prompt_length(s))
+    tails = bool(st.q_tails)
+    if tails:
+        from ..ops.attention import window_attention_mass
+        w_win = st.q_tails[0].shape[1]
+        lens_b = (lengths.astype(jnp.int32) if lengths is not None
+                  else jnp.full((b,), s, jnp.int32))
+        tail_pos = lens_b[:, None] - w_win + jnp.arange(w_win)[None]
+        row_ok = tail_pos >= 0
+        key_ok = (token_valid if token_valid is not None
+                  else jnp.ones((b, s), bool))
     caches, recents, pools, all_stats = [], [], [], []
     for li in range(cfg.num_layers):
+        qmass = None
+        if tails:
+            qmass = window_attention_mass(
+                st.q_tails[li], jnp.maximum(tail_pos, 0), row_ok,
+                st.k_bufs[li], key_ok, pool=ccfg.query_mass_pool)
         cache, stats = compress_layer_kv(
             st.k_bufs[li], st.v_bufs[li], st.masses[li], li, ccfg, cfg,
-            token_valid=token_valid, prompt_lens=prompt_lens)
+            token_valid=token_valid, prompt_lens=prompt_lens,
+            query_mass=qmass)
         caches.append(cache)
         all_stats.append(stats)
         recents.append(init_recent_cache(b, max_decode_len, cfg))
@@ -667,7 +735,7 @@ def prefill_compressed_chunked(
     b, s = input_ids.shape
     if s % chunk_size:
         raise ValueError(f"seq len {s} not a multiple of chunk {chunk_size}")
-    st = prefill_chunked_init(b, s, cfg)
+    st = prefill_chunked_init(b, s, cfg, ccfg)
     step = (jax.jit(lambda p, i, t, n: prefill_chunked_step(
         p, i, t, cfg, ccfg, lengths=n)) if jit_steps
         else (lambda p, i, t, n: prefill_chunked_step(

@@ -77,6 +77,95 @@ def prefill_attention_with_prompt_mass(
     return out.astype(q.dtype), prompt_mass
 
 
+def query_attention_mass(
+    q: Array,
+    k: Array,
+    window: int,
+    lengths: Optional[Array] = None,
+    pool: int = 0,
+) -> Array:
+    """Observation-window mass: attention each key RECEIVES from the last
+    `window` prefill queries (SnapKV/H2O-style; config.importance_source
+    "query"/"both").
+
+    The reference's prompt-mass term scores token i by what i *gives* the
+    prompt region (token_importance.py:21-47); this is the transpose notion
+    — what token i *gets* from the trailing queries — which is the signal
+    that finds content planted at mid-context depth (retrieval heads at the
+    question positions point at the span they need).
+
+    Args:
+      q: [B, S, H_q, D] RoPE'd queries; k: [B, S, H_kv, D] RoPE'd keys.
+      window: static W — the last W (valid) query rows form the window.
+      lengths: optional [B] true lengths for ragged right-padded batches;
+        each row's window then ends at its true length.
+      pool: optional max-pool width over key positions (dilates sharp
+        retrieval hits across their span; 0/1 disables).
+
+    Returns:
+      [B, S] float32 — mean over heads, sum over window rows of
+      softmax(q_w k^T / sqrt(d)) per key column. Rows sum to <= W.
+    """
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    n_rep = hq // hkv
+    w = min(window, s)
+    if lengths is None:
+        q_w = q[:, s - w:]
+        q_pos = jnp.broadcast_to(jnp.arange(s - w, s)[None], (b, w))
+        row_ok = jnp.ones((b, w), bool)
+        key_ok = jnp.ones((b, s), bool)
+    else:
+        # Per-row window [len - w, len): gather (clipped) query rows; rows
+        # before position 0 (len < w) are masked out of the sum.
+        idx = lengths[:, None] - w + jnp.arange(w)[None, :]  # [B, w]
+        row_ok = idx >= 0
+        idx = jnp.clip(idx, 0, s - 1)
+        q_w = jnp.take_along_axis(q, idx[:, :, None, None], axis=1)
+        q_pos = idx
+        key_ok = jnp.arange(s)[None, :] < lengths[:, None]
+    return window_attention_mass(q_w, q_pos, row_ok, k, key_ok, pool=pool)
+
+
+def window_attention_mass(
+    q_w: Array,
+    q_pos: Array,
+    row_ok: Array,
+    k: Array,
+    key_ok: Array,
+    pool: int = 0,
+) -> Array:
+    """Core of `query_attention_mass` over an already-gathered query window
+    (the chunked-prefill path buffers the window's q rows across chunks and
+    calls this at finish).
+
+    Args:
+      q_w: [B, W, H_q, D] window queries; q_pos: [B, W] their positions.
+      row_ok: [B, W] bool — window rows that exist (lengths >= offset).
+      k: [B, S, H_kv, D] full keys; key_ok: [B, S] bool validity.
+      pool: optional max-pool width over key positions.
+    """
+    b, w, hq, d = q_w.shape
+    s = k.shape[1]
+    hkv = k.shape[2]
+    n_rep = hq // hkv
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    q5 = q_w.reshape(b, w, hkv, n_rep, d)
+    logits = jnp.einsum("bqhrd,bkhd->bhrqk", q5.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    mask = key_ok[:, None, :] & (jnp.arange(s)[None, None, :]
+                                 <= q_pos[:, :, None])        # [B, w, S]
+    logits = jnp.where(mask[:, None, None], logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)                    # [B,h,r,w,S]
+    attn = jnp.where(row_ok[:, None, None, :, None], attn, 0.0)
+    mass = attn.mean(axis=(1, 2)).sum(axis=1)                 # [B, S]
+    if pool and pool > 1:
+        mass = jax.lax.reduce_window(
+            mass, -jnp.inf, jax.lax.max, (1, pool), (1, 1), "SAME")
+        mass = jnp.where(key_ok, mass, 0.0)  # no bleed into padding
+    return mass
+
+
 def attention_over_tokens(
     q: Array,
     k: Array,

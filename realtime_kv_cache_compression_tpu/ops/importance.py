@@ -115,11 +115,19 @@ def importance_scores(
     total_len: int = None,
     minmax: tuple = None,
     axis_name: str = None,
+    query_mass: Array = None,
 ) -> Array:
     """Three-term importance score for every token of a layer.
 
     Args:
       prompt_mass: [B, S] raw prompt attention mass A_P,i.
+      query_mass: optional [B, S] observation-window mass (attention each
+        token RECEIVES from the last-W prefill queries,
+        ops.attention.query_attention_mass). Used when
+        cfg.importance_source is "query" (replaces the normalized prompt
+        mass in the alpha term) or "both" (elementwise max of the two
+        normalized masses). Not supported together with `axis_name`/`minmax`
+        (the sequence-sharded path is prompt-source only for now).
       layer_idx: static layer index (selects w_l).
       seq_len: static sequence length T (the padding bucket for ragged
         batches). When the sequence is sharded/chunked this is the LOCAL
@@ -161,6 +169,15 @@ def importance_scores(
             jnp.zeros_like(mass))
     else:
         normalized = minmax_normalize(mass, valid=valid)
+    if cfg.importance_source != "prompt" and query_mass is not None:
+        if axis_name is not None or minmax is not None:
+            raise NotImplementedError(
+                "query-guided importance is not supported on the "
+                "sequence-sharded/chunked-selection path yet")
+        normalized_q = minmax_normalize(query_mass.astype(jnp.float32),
+                                        valid=valid)
+        normalized = (normalized_q if cfg.importance_source == "query"
+                      else jnp.maximum(normalized, normalized_q))
     w_l = cfg.layer_weights[layer_idx]
     term1 = cfg.alpha * normalized * w_l
     recency = cfg.position_bias_mode == "recency"

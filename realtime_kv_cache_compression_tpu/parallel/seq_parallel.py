@@ -80,6 +80,11 @@ def seq_parallel_prefill(
     b, s = input_ids.shape
     if s % n_seq:
         raise ValueError(f"S={s} must divide the seq axis ({n_seq})")
+    if ccfg.importance_source != "prompt":
+        raise NotImplementedError(
+            "sequence-parallel prefill supports importance_source='prompt' "
+            "only (the observation-window mass needs a cross-shard "
+            "query-window exchange not implemented yet)")
     s_loc = s // n_seq
     prompt_len = ccfg.prompt_length(s)
     dtype = jnp.dtype(cfg.dtype)

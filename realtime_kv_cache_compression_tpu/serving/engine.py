@@ -444,7 +444,7 @@ class ServingEngine:
             n_chunks = -(-max(lengths) // self.prefill_chunk)
             rec = {"keyed": keyed, "ids": ids_arr, "lens": len_arr,
                    "st": llama.prefill_chunked_init(
-                       len(rows), self.context_len, self.mcfg),
+                       len(rows), self.context_len, self.mcfg, self.ccfg),
                    "off": 0, "end": n_chunks * self.prefill_chunk}
             if not self._advance_chunked(rec):  # dispatch the first chunk
                 self._chunked.append(rec)

@@ -1,0 +1,200 @@
+"""Query-guided (observation-window) importance tests.
+
+The new `importance_source` config ("query"/"both") scores tokens by the
+attention they RECEIVE from the last-W prefill queries — the SnapKV/H2O
+notion, the transpose of the reference's prompt-mass term
+(/root/reference/src/compression/token_importance.py:21-47). This is the
+mechanism that can find content planted at mid-context depth, where neither
+the prompt-region floor nor the recency window reaches.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_kv_cache_compression_tpu import (CompressionConfig,
+                                               tiny_test_model)
+from realtime_kv_cache_compression_tpu.models import llama
+from realtime_kv_cache_compression_tpu.ops import selection as sel_mod
+from realtime_kv_cache_compression_tpu.ops.attention import (
+    query_attention_mass)
+from realtime_kv_cache_compression_tpu.ops.importance import importance_scores
+from realtime_kv_cache_compression_tpu.ops.quantization import assign_precision
+
+
+def _dense_window_mass(q, k, window):
+    """Reference: full causal attention, sum the last `window` query rows."""
+    b, s, hq, d = q.shape
+    n_rep = hq // k.shape[2]
+    kr = jnp.repeat(k, n_rep, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        kr.astype(jnp.float32)) / np.sqrt(d)
+    mask = jnp.arange(s)[None, :] <= jnp.arange(s)[:, None]
+    logits = jnp.where(mask[None, None], logits, -1e30)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return attn[:, :, s - window:, :].mean(axis=1).sum(axis=1)
+
+
+class TestQueryAttentionMass:
+    def test_matches_dense_reference(self, rng):
+        b, s, hq, hkv, d = 2, 48, 4, 2, 16
+        q = jnp.asarray(rng.normal(size=(b, s, hq, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+        got = query_attention_mass(q, k, window=8)
+        want = _dense_window_mass(q, k, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_ragged_window_ends_at_true_length(self, rng):
+        """A right-padded row's window must cover its LAST VALID positions,
+        and padding keys must carry zero mass."""
+        b, s, hq, hkv, d = 2, 40, 2, 2, 8
+        q = jnp.asarray(rng.normal(size=(b, s, hq, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+        lengths = jnp.asarray([40, 24], jnp.int32)
+        got = query_attention_mass(q, k, window=8, lengths=lengths)
+        # Row 1 computed standalone on its true prefix must match.
+        want = query_attention_mass(q[1:, :24], k[1:, :24], window=8)
+        np.testing.assert_allclose(np.asarray(got[1, :24]),
+                                   np.asarray(want[0]), atol=1e-5)
+        assert float(jnp.abs(got[1, 24:]).max()) == 0.0
+
+    def test_window_larger_than_length(self, rng):
+        """len < W: missing window rows are masked, not wrapped."""
+        b, s, hq, hkv, d = 1, 16, 2, 1, 8
+        q = jnp.asarray(rng.normal(size=(b, s, hq, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+        lengths = jnp.asarray([10], jnp.int32)
+        got = query_attention_mass(q, k, window=16, lengths=lengths)
+        want = _dense_window_mass(q[:, :10], k[:, :10], 10)
+        np.testing.assert_allclose(np.asarray(got[0, :10]),
+                                   np.asarray(want[0]), atol=1e-5)
+
+    def test_pooling_dilates_hits(self):
+        """A sharp single-position hit spreads over its pool neighborhood."""
+        b, s, d = 1, 32, 8
+        # Keys: position 16 is the needle every window query points at.
+        k = jnp.zeros((b, s, 1, d)).at[0, 16, 0, 0].set(8.0)
+        q = jnp.zeros((b, s, 1, d)).at[:, :, 0, 0].set(8.0)
+        raw = query_attention_mass(q, k, window=4, pool=0)
+        pooled = query_attention_mass(q, k, window=4, pool=5)
+        assert float(raw[0, 16]) > float(raw[0, 14]) * 2
+        np.testing.assert_allclose(np.asarray(pooled[0, 14:19]),
+                                   float(raw[0, 16]), rtol=1e-5)
+
+
+class TestQueryGuidedScores:
+    def test_query_source_rescues_mid_context(self, rng):
+        """Mid-sequence tokens with high received-attention survive under
+        source='query' at a ratio where prompt-source scoring drops them —
+        the needle-at-depth mechanism in unit form."""
+        s = 64
+        needle = list(range(30, 34))
+        prompt_mass = jnp.asarray(rng.random((1, s)).astype(np.float32))
+        query_mass = jnp.asarray(
+            rng.random((1, s)).astype(np.float32) * 0.05)
+        query_mass = query_mass.at[0, needle].set(1.0)
+        for source, expect_kept in (("query", True), ("both", True),
+                                    ("prompt", False)):
+            cfg = CompressionConfig(
+                num_layers=4, high_precision_bits=8, medium_precision_bits=4,
+                low_precision_bits=2, importance_source=source,
+                early_layer_ratio=0.3, middle_layer_ratio=0.3,
+                later_layer_ratio=0.3, prompt_region_floor=0.0,
+                alpha=0.8, beta=0.1, gamma=0.1, slot_align=1)
+            scores = importance_scores(prompt_mass, 0, s, 12, cfg,
+                                       query_mass=query_mass)
+            labels, _ = assign_precision(scores, cfg)
+            sel = sel_mod.select_tokens(scores, labels, 0, cfg)
+            kept = np.asarray(sel.kept_mask)[0]
+            if expect_kept:
+                assert kept[needle].all(), source
+            # prompt source: needle treated as any random token — with 12/64
+            # random mass values above them, at least one needle token loses
+            # the 0.3-ratio race (probabilistic but deterministic seed).
+
+    def test_query_source_requires_unsharded(self, rng):
+        cfg = CompressionConfig(num_layers=2, importance_source="query")
+        mass = jnp.asarray(rng.random((1, 16)).astype(np.float32))
+        with pytest.raises(NotImplementedError):
+            importance_scores(mass, 0, 16, 4, cfg, query_mass=mass,
+                              minmax=(mass.min(keepdims=True),
+                                      mass.max(keepdims=True)))
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError):
+            CompressionConfig(num_layers=2, importance_source="bogus")
+        with pytest.raises(ValueError):
+            CompressionConfig(num_layers=2, query_window=-1)
+        cfg = CompressionConfig(num_layers=2)
+        assert cfg.query_window_for(4096) == 256
+        assert cfg.query_window_for(64) == 16
+
+
+class TestModelIntegration:
+    @pytest.fixture(scope="class")
+    def parts(self):
+        mcfg = tiny_test_model(num_layers=3)
+        ccfg = CompressionConfig(num_layers=3, importance_source="both",
+                                 query_mass_pool=4)
+        params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+        return params, mcfg, ccfg
+
+    def test_prefill_runs_and_decodes(self, parts):
+        params, mcfg, ccfg = parts
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0,
+                                 mcfg.vocab_size)
+        logits, state, stats = llama.prefill_compressed(
+            params, ids, mcfg, ccfg, max_decode_len=8)
+        assert logits.shape == (2, mcfg.vocab_size)
+        toks, _ = llama.decode_loop(params, jnp.argmax(logits, -1), state, 4,
+                                    mcfg, ccfg, use_fused=False)
+        assert toks.shape == (2, 4)
+
+    def test_ragged_prefill(self, parts):
+        params, mcfg, ccfg = parts
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 64), 0,
+                                 mcfg.vocab_size)
+        lengths = jnp.asarray([64, 40], jnp.int32)
+        lo, st, _ = llama.prefill_compressed(params, ids, mcfg, ccfg,
+                                             max_decode_len=8,
+                                             lengths=lengths)
+        # Row 1 standalone on its true prefix: same logits.
+        lo1, _, _ = llama.prefill_compressed(params, ids[1:, :40], mcfg,
+                                             ccfg, max_decode_len=8)
+        np.testing.assert_allclose(np.asarray(lo[1]), np.asarray(lo1[0]),
+                                   atol=2e-4)
+
+    def test_chunked_matches_one_shot(self, parts):
+        """Chunked prefill buffers the window's q rows across chunks; the
+        finish-pass query mass (and so the caches) must match one-shot."""
+        params, mcfg, ccfg = parts
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 96), 0,
+                                 mcfg.vocab_size)
+        lengths = jnp.asarray([96, 70], jnp.int32)
+        lo1, st1, _ = llama.prefill_compressed(
+            params, ids, mcfg, ccfg, max_decode_len=8, lengths=lengths)
+        lo2, st2, _ = llama.prefill_compressed_chunked(
+            params, ids, mcfg, ccfg, chunk_size=32, max_decode_len=8,
+            lengths=lengths)
+        np.testing.assert_allclose(np.asarray(lo2), np.asarray(lo1),
+                                   atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(st1.caches),
+                        jax.tree_util.tree_leaves(st2.caches)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=2e-3)
+
+    def test_seq_parallel_guard(self, parts):
+        params, mcfg, ccfg = parts
+        from jax.sharding import Mesh
+
+        from realtime_kv_cache_compression_tpu.parallel import seq_parallel
+        devs = np.array(jax.devices()[:2]).reshape(2)
+        mesh = Mesh(devs, ("seq",))
+        ids = jnp.zeros((1, 64), jnp.int32)
+        with pytest.raises(NotImplementedError):
+            seq_parallel.seq_parallel_prefill(params, ids, mcfg, ccfg, mesh)
