@@ -80,12 +80,17 @@ class Int4Tensor:
     """Group-wise symmetric int4 weight: w[i, o] ≈ q[i, o] · scale[i//G, o].
 
     Codes live in [-7, 7] and are nibble-packed along the IN (reduction)
-    axis: `q_packed[p, o]` holds row 2p in its low nibble and row 2p+1 in
-    its high nibble, so unpacking is two shifts + an interleave — cheap VPU
-    work that XLA fuses into the consuming dot's operand stream, keeping
-    the HBM read at 0.5 bytes/element. Scales are per (group, out-channel),
-    group size G along the reduction axis (in_dim % G == 0; callers fall
-    back to one group otherwise).
+    axis in a HALF-SPLIT layout: `q_packed[p, o]` holds row p in its low
+    nibble and row p + in_dim/2 in its high nibble. Unpacking is then two
+    shifts + a sublane CONCATENATION — no interleave — so both the XLA
+    fallback and the fused Pallas kernel (ops/pallas/int4_matmul.py) unpack
+    at full VPU rate, and the kernel can treat x @ W as
+    x_lo @ W_lo + x_hi @ W_hi over ONE packed block read (0.5
+    bytes/element HBM). Scales are per (group, out-channel), group size G
+    along the reduction axis (in_dim % G == 0; callers fall back to one
+    group otherwise). Round 3 used interleaved row pairs; the half-split
+    relayout is the round-4 fix for the measured 16x int4 decode regression
+    (XLA materialized the interleaved unpack — benchmarks/RESULTS.md).
     """
 
     q_packed: Array  # [in_dim // 2, out] int8 (two nibbles per byte)
@@ -101,12 +106,11 @@ class Int4Tensor:
         return self.in_dim // self.scale.shape[0]
 
     def unpack_codes(self) -> Array:
-        """[in_dim, out] int8 codes in [-8, 7] (sign-extended nibbles)."""
+        """[in_dim, out] int8 codes in [-7, 7] (sign-extended nibbles)."""
         p = self.q_packed
         lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
         hi = jnp.right_shift(p, 4)
-        return jnp.stack([lo, hi], axis=1).reshape(self.in_dim,
-                                                   p.shape[-1])
+        return jnp.concatenate([lo, hi], axis=0)
 
     def dequantize(self, dtype=jnp.bfloat16) -> Array:
         n_g = self.scale.shape[0]
@@ -126,15 +130,17 @@ def quantize_tensor_int4(w: Array, group_size: int = 128) -> Int4Tensor:
     in_dim, out = wf.shape
     if in_dim % 2:
         raise ValueError(f"int4 packing needs even in_dim, got {in_dim}")
-    g = group_size if in_dim % group_size == 0 else in_dim
+    # The fused kernel needs whole groups per packed half (half-split
+    # layout), i.e. in_dim % (2*G) == 0; otherwise fall back to one group.
+    g = group_size if in_dim % (2 * group_size) == 0 else in_dim
     n_g = in_dim // g
     grouped = wf.reshape(n_g, g, out)
     absmax = jnp.max(jnp.abs(grouped), axis=1)
     scale = jnp.maximum(absmax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(grouped / scale[:, None, :]), -7, 7)
     q = q.astype(jnp.int8).reshape(in_dim, out)
-    pairs = q.reshape(in_dim // 2, 2, out)
-    lo, hi = pairs[:, 0], pairs[:, 1]
+    half = in_dim // 2
+    lo, hi = q[:half], q[half:]  # half-split layout (class docstring)
     packed = jnp.bitwise_or(jnp.left_shift(hi, 4),
                             jnp.bitwise_and(lo, jnp.int8(0x0F)))
     return Int4Tensor(q_packed=packed.astype(jnp.int8), scale=scale,

@@ -21,11 +21,12 @@ from realtime_kv_cache_compression_tpu.models.quantized_params import (
 
 
 def test_pack_unpack_roundtrip_exact():
+    # Half-split layout (round 4): packed[p] = (codes[p+K/2] << 4) | lo(codes[p]).
     rng = np.random.default_rng(0)
     codes = rng.integers(-7, 8, size=(64, 16)).astype(np.int8)
-    pairs = codes.reshape(32, 2, 16)
-    packed = ((pairs[:, 1].astype(np.int8) << 4)
-              | (pairs[:, 0] & np.int8(0x0F))).astype(np.int8)
+    lo, hi = codes[:32], codes[32:]
+    packed = ((hi.astype(np.int8) << 4)
+              | (lo & np.int8(0x0F))).astype(np.int8)
     t = Int4Tensor(q_packed=jnp.asarray(packed),
                    scale=jnp.ones((1, 16), jnp.float32), in_dim=64)
     np.testing.assert_array_equal(np.asarray(t.unpack_codes()), codes)
@@ -149,3 +150,54 @@ def test_int4_logits_track_fp_on_tiny_model():
     c4, c8 = corr(lq4), corr(lq8)
     assert c4 > 0.7, f"int4 logit corr {c4}"
     assert c8 > c4, f"precision ladder inverted: int8 {c8} <= int4 {c4}"
+
+
+class TestFusedInt4Kernel:
+    """ops/pallas/int4_matmul.py (interpret mode on CPU): the fused
+    unpack+dequant matmul must match Int4Tensor.dequantize math exactly.
+    Round-4 fix for the measured 16x int4 decode regression (RESULTS.md r3:
+    XLA materialized the unpacked weight at 2 bytes/element)."""
+
+    def _check(self, m, k, n, group_size, seed=0, block_kwargs=None):
+        from realtime_kv_cache_compression_tpu.ops.pallas.int4_matmul import (
+            int4_matmul)
+        rng = np.random.default_rng(seed)
+        w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+        t = quantize_tensor_int4(w, group_size=group_size)
+        want = np.asarray(x @ t.dequantize(jnp.float32))
+        got = np.asarray(int4_matmul(x, t.q_packed, t.scale, t.group_size,
+                                     interpret=True,
+                                     **(block_kwargs or {})))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_grouped_parity(self):
+        self._check(8, 256, 128, group_size=64)
+
+    def test_batch1_decode_shape(self):
+        self._check(1, 256, 128, group_size=128)  # single group per half
+
+    def test_single_group_parity(self):
+        self._check(4, 100, 40, group_size=128)  # falls back to one group
+
+    def test_padding_paths(self):
+        # K/2 = 192 not divisible by block_k2=128 after clamping to whole
+        # groups (gs=64 -> block 128 ok, pad 192->256); N=72 pads to 128.
+        self._check(3, 384, 72, group_size=64,
+                    block_kwargs=dict(block_k2=128, block_n=128))
+
+    def test_multi_kblock_accumulation(self):
+        self._check(5, 1024, 96, group_size=128,
+                    block_kwargs=dict(block_k2=128))
+
+    def test_matmul_dispatch_cpu_uses_xla(self):
+        # On CPU llama._matmul keeps the XLA grouped-einsum form; parity of
+        # that path against dequantize is covered above and in
+        # test_matmul_matches_dequantized_reference.
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(2, 3, 256)).astype(np.float32))
+        t = quantize_tensor_int4(w, group_size=128)
+        got = np.asarray(llama._matmul(x, t))
+        want = np.asarray(x @ t.dequantize(jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
