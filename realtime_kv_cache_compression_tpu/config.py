@@ -460,9 +460,11 @@ class ModelConfig:
     # Mixture-of-experts (Mixtral family). num_experts == 0 → dense MLP.
     num_experts: int = 0
     num_experts_per_tok: int = 2
-    # MoE execution strategy (ops/moe.py): "auto" picks gather for decode-
-    # sized token counts and ragged grouped matmuls otherwise; "dense" is
-    # the GSPMD expert-parallel form (expert axis sharded over `model`).
+    # MoE execution strategy (ops/moe.py): "auto" picks dynslice for
+    # decode-sized token counts (per-routed-expert dynamic slice, no gather
+    # materialization), gather up to the weight-traffic crossover, and
+    # ragged grouped matmuls beyond; "dense" is the GSPMD expert-parallel
+    # form (expert axis sharded over `model`). Explicit values force a path.
     moe_impl: str = "auto"
 
     @property

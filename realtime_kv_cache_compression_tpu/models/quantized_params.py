@@ -147,7 +147,41 @@ def quantize_tensor_int4(w: Array, group_size: int = 128) -> Int4Tensor:
                       in_dim=in_dim)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedExpertTensor:
+    """Per-(expert, out-channel) symmetric int8 MoE weight stack:
+    w[e, i, o] ≈ q[e, i, o] · scale[e, o].
+
+    Batch-1 MoE decode is routed-expert-weight-streaming-bound (r3 measured
+    19.5 ms/step vs a ~4.2 ms bf16 expert-bytes floor, RESULTS.md); int8
+    experts halve the streamed bytes, and the dequant (convert + per-out
+    scale) fuses into each path's einsum/dot operand stream in ops/moe.py.
+    """
+
+    q: Array      # [E, in, out] int8
+    scale: Array  # [E, out] float32
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def dequantize(self, dtype=jnp.bfloat16) -> Array:
+        return (self.q.astype(jnp.float32)
+                * self.scale[:, None, :]).astype(dtype)
+
+
+def quantize_expert_tensor(w: Array) -> QuantizedExpertTensor:
+    """Symmetric int8 over the per-expert reduction axis (axis 1)."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=1)            # [E, out]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -127, 127).astype(jnp.int8)
+    return QuantizedExpertTensor(q=q, scale=scale)
+
+
 _MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_EXPERT_KEYS = ("w_gate", "w_up", "w_down")
 
 
 def _quantize_matmul_weight(v: Array, bits: int, act_quant: bool,
@@ -179,8 +213,17 @@ def quantize_params(params: Dict[str, Any], act_quant: bool = False,
     for layer in params["layers"]:
         ql = {}
         for k, v in layer.items():
-            ql[k] = (_quantize_matmul_weight(v, bits, act_quant, group_size)
-                     if k in _MATMUL_KEYS else v)
+            if k == "moe":
+                # Expert stacks quantize per (expert, out-channel) int8
+                # (int4 experts not yet supported); the router gate stays
+                # full precision (tiny, routing-critical).
+                ql[k] = {mk: (quantize_expert_tensor(mv)
+                              if mk in _EXPERT_KEYS else mv)
+                         for mk, mv in v.items()}
+            else:
+                ql[k] = (_quantize_matmul_weight(v, bits, act_quant,
+                                                 group_size)
+                         if k in _MATMUL_KEYS else v)
         out["layers"].append(ql)
     return out
 
@@ -208,8 +251,17 @@ def quantize_params_streaming(params: Dict[str, Any],
         ql = {}
         for k in list(layer.keys()):
             v = layer.pop(k)
-            ql[k] = (_quantize_matmul_weight(v, bits, act_quant, group_size)
-                     if k in _MATMUL_KEYS else v)
+            if k == "moe":
+                ql[k] = {}
+                for mk in list(v.keys()):
+                    mv = v.pop(mk)
+                    ql[k][mk] = (quantize_expert_tensor(mv)
+                                 if mk in _EXPERT_KEYS else mv)
+                    del mv
+            else:
+                ql[k] = (_quantize_matmul_weight(v, bits, act_quant,
+                                                 group_size)
+                         if k in _MATMUL_KEYS else v)
             del v
         layers[i] = None
         out["layers"].append(ql)
@@ -225,16 +277,40 @@ def params_are_quantized(params: Any) -> bool:
 
     def visit(x):
         nonlocal found
-        if isinstance(x, (QuantizedTensor, Int4Tensor)):
+        if isinstance(x, (QuantizedTensor, Int4Tensor,
+                          QuantizedExpertTensor)):
             found = True
         return x
 
     jax.tree_util.tree_map(
         visit, params,
-        is_leaf=lambda x: isinstance(x, (QuantizedTensor, Int4Tensor)))
+        is_leaf=lambda x: isinstance(
+            x, (QuantizedTensor, Int4Tensor, QuantizedExpertTensor)))
     return found
 
 
 def params_bytes(params: Any) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(params))
+
+
+def params_num_weights(params: Any) -> int:
+    """Logical weight count (independent of storage precision): int4
+    packed bytes count 2 elements, int8 1 — for FLOP estimates."""
+    total = 0
+
+    def visit(x):
+        nonlocal total
+        if isinstance(x, Int4Tensor):
+            total += x.q_packed.size * 2 + x.scale.size
+        elif isinstance(x, (QuantizedTensor, QuantizedExpertTensor)):
+            total += x.q.size + x.scale.size
+        else:
+            total += x.size
+        return x
+
+    jax.tree_util.tree_map(
+        visit, params,
+        is_leaf=lambda x: isinstance(
+            x, (QuantizedTensor, Int4Tensor, QuantizedExpertTensor)))
+    return total

@@ -61,13 +61,62 @@ class TestMoeImpls:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
 
-    def test_auto_picks_gather_for_decode_shapes(self, moe_setup):
+    def test_dynslice_matches_reference(self, moe_setup):
         cfg, moe, x = moe_setup
-        x1 = x[:, :1]  # 2 tokens → gather path
-        want = moe_ops.moe_mlp(moe, x1, cfg, impl="gather")
+        x1 = x[:, :2]  # 4 tokens: decode-sized
+        want = moe_ops.moe_mlp_reference(moe, x1, cfg)
+        got = moe_ops.moe_mlp(moe, x1, cfg, impl="dynslice")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_auto_picks_dynslice_for_decode_shapes(self, moe_setup):
+        cfg, moe, x = moe_setup
+        x1 = x[:, :1]  # 2 tokens → dynslice path (round 4: the gather
+        # path materializes the routed experts; dynslice reads them once)
+        want = moe_ops.moe_mlp(moe, x1, cfg, impl="dynslice")
         got = moe_ops.moe_mlp(moe, x1, cfg, impl="auto")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6)
+
+    def test_int8_experts_all_paths_track_reference(self, moe_setup):
+        """QuantizedExpertTensor: every impl must agree with the
+        dequantized oracle (the oracle itself dequantizes up front)."""
+        from realtime_kv_cache_compression_tpu.models.quantized_params import (
+            quantize_expert_tensor)
+        cfg, moe, x = moe_setup
+        qmoe = {k: (quantize_expert_tensor(v)
+                    if k in ("w_gate", "w_up", "w_down") else v)
+                for k, v in moe.items()}
+        want = moe_ops.moe_mlp_reference(qmoe, x, cfg)
+        fp = moe_ops.moe_mlp_reference(moe, x, cfg)
+        # int8 error vs fp stays small; and each impl matches the oracle.
+        assert float(jnp.abs(want - fp).mean()) < 0.05 * float(
+            jnp.abs(fp).mean() + 1e-6)
+        for impl in ("ragged", "gather", "dense"):
+            got = moe_ops.moe_mlp(qmoe, x, cfg, impl=impl)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-4)
+        x1 = x[:, :2]
+        want1 = moe_ops.moe_mlp_reference(qmoe, x1, cfg)
+        got1 = moe_ops.moe_mlp(qmoe, x1, cfg, impl="dynslice")
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                                   atol=1e-4)
+
+    def test_quantize_params_quantizes_experts(self):
+        from realtime_kv_cache_compression_tpu.models.quantized_params import (
+            QuantizedExpertTensor, params_are_quantized, quantize_params)
+        cfg = tiny_moe_cfg()
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        q = quantize_params(params)
+        moe = q["layers"][0]["moe"]
+        assert isinstance(moe["w_gate"], QuantizedExpertTensor)
+        assert not isinstance(moe["gate"], QuantizedExpertTensor)
+        assert params_are_quantized(q)
+        ccfg = CompressionConfig(num_layers=cfg.num_layers)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 48), 0,
+                                 cfg.vocab_size)
+        toks, _ = llama.generate(q, ids, cfg, ccfg, max_new_tokens=4)
+        assert toks.shape == (1, 4)
 
     def test_router_weights_normalized(self, moe_setup):
         cfg, moe, x = moe_setup
