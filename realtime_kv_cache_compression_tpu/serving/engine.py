@@ -70,6 +70,48 @@ class Request:
     stop_reason: Optional[str] = None   # "eos" | "stop" | "length"
 
 
+def estimate_prefill_seconds(params, mcfg: ModelConfig,
+                             context_len: int,
+                             effective_tf_s: float = 90.0) -> float:
+    """Analytic one-shot prefill wall estimate (batch 1) for the chunking
+    heuristic: weight FLOPs 2·N·S plus causal attention 2·Hq·S²·D, over an
+    effective throughput (default 90 TF/s — calibrated on TPU v5e against
+    r3 measurements: TinyLlama 4K prefill ~163 ms measured vs ~0.17 s
+    estimated; bench.py 7B-class runs land within ~2x, which is enough for
+    an order-of-magnitude gate)."""
+    from ..models.quantized_params import params_num_weights
+
+    n = params_num_weights(params)
+    s = context_len
+    flops = 2.0 * n * s + 2.0 * mcfg.num_heads * s * s * mcfg.head_dim
+    return flops / (effective_tf_s * 1e12)
+
+
+def resolve_prefill_chunk(params, mcfg: ModelConfig, context_len: int,
+                          hol_budget_s: float = 0.5) -> Optional[int]:
+    """prefill_chunk="auto" resolution: chunk only when the one-shot
+    prefill would block head-of-line longer than `hol_budget_s`.
+
+    Measured decision surface (benchmarks/RESULTS.md): at 4K/TinyLlama
+    (prefill ~0.16 s) chunking made HOL WORSE (max inter-token gap 163 →
+    262 ms) — async admission already pipelines a short prefill with
+    decode, and chunk steps serialize on the driver; at 32K (prefill
+    ~2.4 s) the one-shot prefill monopolizes the device stream and
+    chunking is the only bound on the gap. The chunk size targets
+    ~hol_budget_s per chunk (power of two, >= 512, dividing context_len).
+    """
+    est = estimate_prefill_seconds(params, mcfg, context_len)
+    if est <= hol_budget_s:
+        return None
+    target = max(int(context_len * hol_budget_s / est), 512)
+    chunk = 512
+    while chunk * 2 <= target:
+        chunk *= 2
+    if context_len % chunk or chunk >= context_len:
+        return None  # non-pow2 context: stay unchunked rather than crash
+    return chunk
+
+
 def _tree_insert_row(batched, multi, row, slot):
     """Scatter row `row` of a batched pytree into slot `slot` of another."""
     row = jnp.asarray(row, jnp.int32)
@@ -172,6 +214,11 @@ class ServingEngine:
         # tokens per engine step, so active slots' decode latency is bounded
         # by one chunk's time instead of a full-prompt prefill (vLLM-style).
         # The chunk offset is traced state → ONE compile serves every chunk.
+        # "auto" chunks only when the estimated one-shot prefill exceeds the
+        # HOL budget (resolve_prefill_chunk — at short contexts chunking
+        # measurably WORSENS HOL, benchmarks/RESULTS.md).
+        if prefill_chunk == "auto":
+            prefill_chunk = resolve_prefill_chunk(params, mcfg, context_len)
         self.prefill_chunk = prefill_chunk
         if prefill_chunk:
             if context_len % prefill_chunk:
@@ -286,6 +333,53 @@ class ServingEngine:
             stop_sequences=[list(s) for s in (stop_sequences or [])],
             eos_token_id=eos_token_id, on_token=on_token))
         return rid
+
+    def warmup(self) -> Dict[str, Any]:
+        """Compile every program the serving load will hit, BEFORE traffic.
+
+        Admission pads its prefill batch to a power of two, so a server with
+        N slots can hit ceil-pow2 batch sizes {1, 2, 4, ..} — each a distinct
+        XLA program whose in-window compile (tens of seconds on TPU) would
+        otherwise land on the first unlucky client. This drives one
+        admission at every reachable padded batch size, plus the slot
+        insert and the full-batch decode chunk.
+
+        The warmup prompts are DISTINCT: identical prompts in one admission
+        batch share a single prefill row (in-batch dedupe) and later ones
+        hit the prefix cache, so same-prompt warmups never compile the
+        multi-row programs — the round-3 sitting's warmup made exactly that
+        mistake and mis-measured HTTP serving 14x slow, mis-attributing
+        in-window compiles to steady-state overhead (ADVICE r3,
+        benchmarks/RESULTS.md round-4 correction).
+
+        Returns {"batch_sizes": [...], "wall_s": ...}.
+        """
+        t0 = time.time()
+        agg_before = dict(self._agg)
+        cache_before = (set(self._prefix_cache)
+                        if self._prefix_cache is not None else set())
+        sizes = sorted({1 << (k - 1).bit_length()
+                        for k in range(1, self.num_slots + 1)})
+        n, rids = 0, []
+        for b in sizes:
+            for _ in range(min(b, self.num_slots)):
+                n += 1
+                ids = [1] * 7 + [2 + (n % max(self.mcfg.vocab_size - 3, 1))]
+                rids.append(self.submit(ids,
+                                        max_new_tokens=self.decode_chunk + 1))
+            self.run()
+        # Warmup must not leak into serving state: drop its completed
+        # requests, lifetime aggregates, and prefix-cache junk entries.
+        for rid in rids:
+            self.release(rid)
+        self._agg = agg_before
+        if self._prefix_cache is not None:
+            for key in [k for k in self._prefix_cache
+                        if k not in cache_before]:
+                del self._prefix_cache[key]
+            self.prefix_misses = 0
+            self.prefix_hits = 0
+        return {"batch_sizes": sizes, "wall_s": time.time() - t0}
 
     def register_prefix(self, input_ids: List[int]) -> None:
         """Prefill and pin a shared prefix (e.g. a system prompt).

@@ -134,3 +134,47 @@ class TestEngine:
         assert eng._chunked, "r2 should still be mid-prefill"
         done = eng.run()
         assert sorted(done) == [r1, r2]
+
+
+class TestAutoChunk:
+    """prefill_chunk="auto" (round-4): chunk ONLY where chunking wins —
+    the r3 sitting measured chunking worsening HOL at 4K/TinyLlama
+    (163 -> 262 ms max gap) while a 32K prefill (~2.4 s) monopolizes the
+    device without it."""
+
+    def test_short_context_resolves_unchunked(self):
+        from realtime_kv_cache_compression_tpu.serving.engine import (
+            resolve_prefill_chunk)
+        mcfg = tiny_test_model(num_layers=2)
+        params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+        assert resolve_prefill_chunk(params, mcfg, 4096) is None
+
+    def test_estimator_matches_measured_order(self):
+        """TinyLlama 4K measured ~0.163 s (RESULTS.md chunked_hol):
+        the analytic estimate must land within 3x."""
+        import dataclasses
+
+        import realtime_kv_cache_compression_tpu as rtc
+        from realtime_kv_cache_compression_tpu.serving.engine import (
+            estimate_prefill_seconds)
+
+        # Estimate from the architecture's true weight count without
+        # materializing 1.1B params: use jax.eval_shape.
+        mcfg = dataclasses.replace(rtc.TINYLLAMA_1_1B,
+                                   max_position_embeddings=4096)
+        shapes = jax.eval_shape(
+            lambda: llama.init_params(jax.random.PRNGKey(0), mcfg))
+        est = estimate_prefill_seconds(shapes, mcfg, 4096)
+        assert 0.163 / 3 < est < 0.163 * 3, est
+        est32 = estimate_prefill_seconds(shapes, mcfg, 32768)
+        assert est32 > 0.5, est32  # 32K resolves to chunked
+
+    def test_engine_accepts_auto(self, parts):
+        params, mcfg, ccfg = parts
+        eng = ServingEngine(params, mcfg, ccfg, num_slots=2,
+                            context_len=64, max_new_tokens=4,
+                            prefill_chunk="auto")
+        assert eng.prefill_chunk is None  # tiny model, tiny context
+        rid = eng.submit([5, 6, 7] * 8, max_new_tokens=3)
+        eng.run()
+        assert len(eng.completed[rid].tokens) == 3

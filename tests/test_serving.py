@@ -147,3 +147,25 @@ def test_sharded_serving_slot_validation(engine_parts):
     mesh = create_mesh(2, 4)
     with pytest.raises(ValueError):
         ServingEngine(params, mcfg, ccfg, num_slots=3, mesh=mesh)
+
+
+def test_warmup_compiles_every_admission_batch(engine_parts):
+    """warmup() must drive one admission at every reachable padded batch
+    size WITH DISTINCT PROMPTS (identical prompts dedupe to one prefill
+    row — the round-3 sitting's warmup flaw, ADVICE r3) and leave no
+    serving state behind."""
+    eng = make_engine(engine_parts, num_slots=4, prefix_cache_size=4)
+    info = eng.warmup()
+    assert info["batch_sizes"] == [1, 2, 4]
+    # Admission prefill compiled once per padded batch size.
+    assert eng._prefill._cache_size() >= 3
+    # No residue: stats, completed map, prefix cache all clean.
+    assert eng.summary() == {"completed": 0} or (
+        eng.summary().get("completed", 0) == 0)
+    assert not eng.completed
+    assert len(eng._prefix_cache) == 0
+    assert not eng.has_work()
+    # Real traffic after warmup behaves normally.
+    rid = eng.submit(prompt(99), max_new_tokens=5)
+    eng.run()
+    assert len(eng.completed[rid].tokens) == 5
