@@ -128,7 +128,7 @@ def train_recall_model(mcfg, task, steps, batch, payload_len, filler_lens,
     import jax.numpy as jnp
 
     params = llama.init_params(jax.random.PRNGKey(0), mcfg)
-    optimizer = train.make_optimizer(lr=lr)
+    optimizer = train.make_optimizer(lr=lr, total_steps=steps)
     opt_state = optimizer.init(params)
     step_fn = jax.jit(lambda p, o, ids, m: train.train_step(
         p, o, ids, mcfg, optimizer, use_flash=use_flash, loss_mask=m))
