@@ -457,8 +457,15 @@ ALL = ["http_serving_r4", "fused_auto_check_r4", "chunked_hol_32k",
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ALL
+    if os.path.exists(OUT):
+        # Partial reruns (a failed phase fixed and re-measured) must not
+        # clobber the phases already recorded this round.
+        with open(OUT) as f:
+            RESULTS.update(json.load(f))
     RESULTS["meta"] = {"date": time.strftime("%Y-%m-%d %H:%M"),
-                       "phases": names}
+                       "phases": sorted(set(names)
+                                        | set(RESULTS.get("meta", {})
+                                              .get("phases", [])))}
     import jax
 
     RESULTS["meta"]["device"] = str(jax.devices()[0].device_kind)

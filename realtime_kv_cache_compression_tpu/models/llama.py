@@ -575,6 +575,7 @@ def prefill_chunked_step(
     cfg: ModelConfig,
     ccfg: CompressionConfig,
     lengths: Optional[Array] = None,
+    use_flash: bool = False,
 ) -> ChunkedPrefillState:
     """Advance the prefill by one chunk of tokens.
 
@@ -585,8 +586,18 @@ def prefill_chunked_step(
     Per-row softmax over the position-ordered buffer is identical to
     full-sequence causal attention, so caches, masses, and logits match the
     one-shot `prefill_compressed` (ops.attention.chunk_attention docstring).
+
+    use_flash routes the chunk attention through the rectangular flash
+    kernel (ops/pallas/flash_prefill.flash_chunk_attention_with_prompt_mass)
+    — REQUIRED at long contexts: the dense form materializes [c, S] scores
+    per GQA lane (68 GB at c=16K/S=32K — the r4-sitting OOM).
     """
-    from ..ops.attention import chunk_attention_with_prompt_mass
+    if use_flash:
+        from ..ops.pallas.flash_prefill import (
+            flash_chunk_attention_with_prompt_mass as
+            chunk_attention_with_prompt_mass)
+    else:
+        from ..ops.attention import chunk_attention_with_prompt_mass
 
     b, c = chunk_ids.shape
     s_total = st.k_bufs[0].shape[1]
@@ -726,6 +737,7 @@ def prefill_compressed_chunked(
     lengths: Optional[Array] = None,
     mesh=None,
     jit_steps: bool = True,
+    use_flash: bool = False,
 ) -> Tuple[Array, DecodeState, List[Dict[str, Array]]]:
     """Convenience driver: init → chunk steps → finish.
 
@@ -737,9 +749,9 @@ def prefill_compressed_chunked(
         raise ValueError(f"seq len {s} not a multiple of chunk {chunk_size}")
     st = prefill_chunked_init(b, s, cfg, ccfg)
     step = (jax.jit(lambda p, i, t, n: prefill_chunked_step(
-        p, i, t, cfg, ccfg, lengths=n)) if jit_steps
+        p, i, t, cfg, ccfg, lengths=n, use_flash=use_flash)) if jit_steps
         else (lambda p, i, t, n: prefill_chunked_step(
-            p, i, t, cfg, ccfg, lengths=n)))
+            p, i, t, cfg, ccfg, lengths=n, use_flash=use_flash)))
     for off in range(0, s, chunk_size):
         st = step(params, input_ids[:, off:off + chunk_size], st, lengths)
     return prefill_chunked_finish(params, st, cfg, ccfg,

@@ -36,11 +36,11 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
-                  m_scr, l_scr, acc_scr, pmass_scr,
+def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  pm_ref, m_scr, l_scr, acc_scr, pmass_scr,
                   *, sm_scale: float, block_q: int, block_k: int,
                   kv_blocks: int, n_rep: int, causal: bool = True,
-                  exp_bf16: bool = False):
+                  exp_bf16: bool = False, rect: bool = False):
     """Grid (batch, kv_head, q_block, kv_block): the whole GQA group
     (`n_rep` query heads sharing one kv head) processes per step, so each
     K/V block DMAs once for the group and the grid is H_q/n_rep times
@@ -75,6 +75,11 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
     v = v_ref[0, 0]                                   # [bk, d]
     plen = plen_ref[0]                                # [1, 1]
     in_prompt_block = kv_idx * block_k < plen[0, 0]   # dynamic scalar
+    # Rectangular (chunked-prefill) mode: queries sit at GLOBAL positions
+    # q_offset + local_row — q_offset is a traced scalar so one compiled
+    # program serves every chunk of a bucket (models/llama.py chunked
+    # carry contract). Square mode keeps the offset at literal 0.
+    q_off = qoff_ref[0, 0] if rect else 0
     col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
                + kv_idx * block_k)                    # [1, bk]
 
@@ -83,7 +88,7 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
         # at native rate with f32 accumulation).
         if apply_causal:
             row_ids = (jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-                       + q_idx * block_q)             # [bq, 1]
+                       + (q_idx * block_q + q_off))   # [bq, 1] global rows
             visible = col_ids <= row_ids              # one broadcast pass
         scale2 = jnp.asarray(sm_scale * 1.4426950408889634, jnp.float32)
         for r in range(n_rep):
@@ -136,7 +141,7 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     if causal:
-        first_row = q_idx * block_q
+        first_row = q_idx * block_q + q_off
         last_row = first_row + block_q - 1
         c0 = kv_idx * block_k
         c1 = c0 + block_k - 1
@@ -157,7 +162,7 @@ def _flash_kernel(plen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, pm_ref,
 
     # Last kv block this q block needs: write normalized output.
     if causal:
-        last_kv = jnp.minimum(((q_idx + 1) * block_q - 1) // block_k,
+        last_kv = jnp.minimum((q_off + (q_idx + 1) * block_q - 1) // block_k,
                               kv_blocks - 1)
     else:
         last_kv = kv_blocks - 1
@@ -181,6 +186,7 @@ def _flash_attention_bhsd(
     q: Array, k: Array, v: Array, plens: Array, *, sm_scale: float,
     block_q: int, block_k: int, interpret: bool, causal: bool = True,
     fold_gqa: bool = True, exp_bf16: bool = False,
+    q_offset: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Flash attention on [B, H, S, D] tensors (S divisible by blocks).
 
@@ -205,15 +211,20 @@ def _flash_attention_bhsd(
     else:
         grid_h, rep, kmap = hq, 1, (lambda g: g // n_rep)
 
+    rect = q_offset is not None
+    qoff = (jnp.zeros((1, 1), jnp.int32) if q_offset is None
+            else jnp.asarray(q_offset, jnp.int32).reshape(1, 1))
     grid = (b, grid_h, nq, nkv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        kv_blocks=nkv, n_rep=rep, causal=causal, exp_bf16=exp_bf16)
+        kv_blocks=nkv, n_rep=rep, causal=causal, exp_bf16=exp_bf16,
+        rect=rect)
     o, lse, pm = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda b, g, qi, ki: (b, 0, 0)),
+            pl.BlockSpec((1, 1), lambda b, g, qi, ki: (0, 0)),
             pl.BlockSpec((1, rep, block_q, d),
                          lambda b, g, qi, ki: (b, g, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d),
@@ -245,7 +256,7 @@ def _flash_attention_bhsd(
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(plens, q, k, v)
+    )(plens, qoff, q, k, v)
     # [B, grid_h, rep, S] → [B, Hq, S] (kv-grouped heads are contiguous).
     lse = lse.reshape(b, hq, s)
     pm = pm.reshape(b, hq, s)
@@ -318,6 +329,62 @@ def flash_prefill_with_prompt_mass(
                                         exp_bf16=exp_bf16)
     o = o[:, :, :s]
     pm = pm[:, :, :s]
+    return o.transpose(0, 2, 1, 3), pm.mean(axis=1)
+
+
+def flash_chunk_attention_with_prompt_mass(
+    q: Array,
+    k_buf: Array,
+    v_buf: Array,
+    q_offset: Array,
+    prompt_len: int,
+    prompt_lens: Optional[Array] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Flash form of `ops.attention.chunk_attention_with_prompt_mass`.
+
+    Rectangular causal attention of one prefill CHUNK (queries at traced
+    global positions q_offset..q_offset+c-1) over the position-ordered KV
+    buffer [B, S, H_kv, D] — without materializing the [c, S] score matrix
+    (the dense form allocates B*Hkv*rep*c*S f32: 68 GB at c=16K, S=32K —
+    the r4-sitting OOM this kernel fixes). q_offset rides a traced [1,1]
+    scalar into the kernel, so ONE compiled program serves every chunk of
+    a serving bucket. Buffer rows past the current fill hold later
+    positions and are causally invisible; zero-padded key rows (S padded to
+    block_k) likewise sit above every real query position.
+
+    Returns (out [B, c, H_q, D], prompt_mass [B, c] — identical semantics
+    to the dense chunk attention, token_importance.py:41-45 parity).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, c, hq, d = q.shape
+    s = k_buf.shape[1]
+    sm_scale = 1.0 / (d ** 0.5)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k_buf.transpose(0, 2, 1, 3)
+    vt = v_buf.transpose(0, 2, 1, 3)
+    block_q = min(block_q, max(8, 1 << (c - 1).bit_length()))
+    block_k = min(block_k, max(8, 1 << (s - 1).bit_length()))
+    pad_q = (-c) % block_q
+    pad_k = (-s) % block_k
+    if pad_q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    if prompt_lens is None:
+        plens = jnp.full((b, 1, 1), prompt_len, jnp.int32)
+    else:
+        plens = prompt_lens.astype(jnp.int32).reshape(b, 1, 1)
+    o, _lse, pm = _flash_attention_bhsd(
+        qt, kt, vt, plens, sm_scale=sm_scale, block_q=block_q,
+        block_k=block_k, interpret=interpret, causal=True,
+        q_offset=q_offset)
+    o = o[:, :, :c]
+    pm = pm[:, :, :c]
     return o.transpose(0, 2, 1, 3), pm.mean(axis=1)
 
 

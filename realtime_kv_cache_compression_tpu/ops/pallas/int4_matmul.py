@@ -54,7 +54,7 @@ def _kernel(x_lo_ref, x_hi_ref, w_ref, sl_ref, sh_ref, o_ref, acc_ref, *,
     hi = jnp.left_shift(p, 24) >> 28              # sign-extended high nibble
 
     def dequant(codes, s_ref):
-        s = s_ref[...]                            # [R, bn] f32
+        s = s_ref[...][:, 0, :]                   # [R, 1, bn] f32 -> [R, bn]
         r = s.shape[0]
         bk2, bn = codes.shape
         c = codes.astype(jnp.float32).reshape(r, bk2 // r, bn)
@@ -119,6 +119,10 @@ def int4_matmul(
     block_k2 = min(block_k2, ((kh + 127) // 128) * 128)
     if gs < block_k2 and block_k2 % gs:
         block_k2 = (block_k2 // gs) * gs  # whole groups per block
+    if n_g > 1 and gs > block_k2 and gs % block_k2:
+        raise ValueError(
+            f"int4_matmul needs group_size ({gs}) to divide into whole "
+            f"k-blocks ({block_k2}); use a power-of-two group size")
     pad_m = (-m) % block_m
     pad_n = (-n) % block_n
     pad_k2 = (-kh) % block_k2
@@ -142,8 +146,19 @@ def int4_matmul(
         s_hi = jnp.pad(s_hi, ((0, 0), (0, pad_n)))
     mm, nn_, kk2 = m + pad_m, n + pad_n, kh + pad_k2
     nm, nn, nk = mm // block_m, nn_ // block_n, kk2 // block_k2
-    s_idx = ((lambda i, j, s: (s, j)) if gs <= block_k2
-             else (lambda i, j, s: (0, j)))
+    # Scales travel as [G, 1, N]: Mosaic constrains only the LAST TWO block
+    # dims ((1, block_n) — always legal), so the per-block group count `r`
+    # rides the unconstrained leading dim. A 2-D (r, block_n) block with
+    # r < 8 fails TPU lowering (measured on HW, r4 sitting: "block shape
+    # (4, 512) ... requires ... divisible by 8").
+    s_lo = s_lo[:, None, :]
+    s_hi = s_hi[:, None, :]
+    if gs <= block_k2:
+        s_idx = lambda i, j, s: (s, 0, j)         # noqa: E731
+    else:
+        # One scale row per k-block; the block's group is the group its
+        # FIRST packed row falls in (whole blocks per group by padding).
+        s_idx = lambda i, j, s: ((s * block_k2) // gs, 0, j)  # noqa: E731
 
     out = pl.pallas_call(
         functools.partial(_kernel, nk=nk, compute_dtype=x.dtype),
@@ -152,8 +167,8 @@ def int4_matmul(
             pl.BlockSpec((block_m, block_k2), lambda i, j, s: (i, s)),
             pl.BlockSpec((block_m, block_k2), lambda i, j, s: (i, s)),
             pl.BlockSpec((block_k2, block_n), lambda i, j, s: (s, j)),
-            pl.BlockSpec((r, block_n), s_idx),
-            pl.BlockSpec((r, block_n), s_idx),
+            pl.BlockSpec((r, 1, block_n), s_idx),
+            pl.BlockSpec((r, 1, block_n), s_idx),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, s: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mm, nn_), out_dtype),

@@ -107,6 +107,12 @@ def resolve_prefill_chunk(params, mcfg: ModelConfig, context_len: int,
     chunk = 512
     while chunk * 2 <= target:
         chunk *= 2
+    # Cap at 4096: the analytic estimate runs ~3x optimistic at 32K through
+    # the axon relay (est 0.85 s vs 2.44 s measured), and later chunks pay
+    # full-buffer attention anyway — a larger chunk converts estimator
+    # error straight into HOL. 4096 keeps per-chunk wall ~0.3-0.5 s
+    # (benchmarks/r4_tpu_results.json chunked_hol_32k).
+    chunk = min(chunk, 4096)
     if context_len % chunk or chunk >= context_len:
         return None  # non-pow2 context: stay unchunked rather than crash
     return chunk
@@ -227,7 +233,7 @@ class ServingEngine:
                     f"prefill_chunk={prefill_chunk}")
             self._chunk_step = jax.jit(
                 lambda p, i, t, n: llama.prefill_chunked_step(
-                    p, i, t, mcfg, ccfg, lengths=n))
+                    p, i, t, mcfg, ccfg, lengths=n, use_flash=use_flash))
             self._chunk_finish = jax.jit(
                 lambda p, t, n: llama.prefill_chunked_finish(
                     p, t, mcfg, ccfg, max_decode_len=ring_cap,

@@ -136,6 +136,78 @@ class TestEngine:
         assert sorted(done) == [r1, r2]
 
 
+class TestFlashChunkAttention:
+    """Rectangular flash chunk attention (round 4): the dense chunk
+    attention materializes [B,Hkv,rep,c,S] f32 scores — 68 GB at c=16K,
+    S=32K, the r4-sitting OOM. The flash form must match it exactly
+    (interpret mode here; the traced q_offset makes one program serve all
+    chunks)."""
+
+    def test_matches_dense_chunk_attention(self):
+        from realtime_kv_cache_compression_tpu.ops.attention import (
+            chunk_attention_with_prompt_mass)
+        from realtime_kv_cache_compression_tpu.ops.pallas.flash_prefill import (
+            flash_chunk_attention_with_prompt_mass)
+        b, s, hq, hkv, d, c = 2, 64, 4, 2, 32, 16
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        k_buf = jax.random.normal(kk, (b, s, hkv, d), jnp.float32)
+        v_buf = jax.random.normal(kv, (b, s, hkv, d), jnp.float32)
+        plens = jnp.asarray([12, 9], jnp.int32)
+        for off in (0, 16, 48):
+            q = jax.random.normal(jax.random.fold_in(kq, off),
+                                  (b, c, hq, d), jnp.float32)
+            o1, m1 = chunk_attention_with_prompt_mass(
+                q, k_buf, v_buf, jnp.int32(off), 12, prompt_lens=plens)
+            o2, m2 = flash_chunk_attention_with_prompt_mass(
+                q, k_buf, v_buf, jnp.int32(off), 12, prompt_lens=plens,
+                interpret=True)
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                       atol=2e-5, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                                       atol=2e-5, rtol=1e-4)
+
+    def test_one_program_serves_all_offsets(self):
+        """q_offset must be traced: jit once, run at several offsets."""
+        from realtime_kv_cache_compression_tpu.ops.attention import (
+            chunk_attention_with_prompt_mass)
+        from realtime_kv_cache_compression_tpu.ops.pallas.flash_prefill import (
+            flash_chunk_attention_with_prompt_mass)
+        b, s, hq, hkv, d, c = 1, 64, 2, 1, 16, 16
+        key = jax.random.PRNGKey(3)
+        q = jax.random.normal(key, (b, c, hq, d), jnp.float32)
+        k_buf = jax.random.normal(key, (b, s, hkv, d), jnp.float32)
+        v_buf = k_buf * 0.5
+        fn = jax.jit(lambda q, o: flash_chunk_attention_with_prompt_mass(
+            q, k_buf, v_buf, o, 8, interpret=True))
+        for off in (0, 32):
+            o2, m2 = fn(q, jnp.int32(off))
+            o1, m1 = chunk_attention_with_prompt_mass(
+                q, k_buf, v_buf, jnp.int32(off), 8)
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                       atol=2e-5, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                                       atol=2e-5, rtol=1e-4)
+
+    def test_chunked_prefill_flash_matches_one_shot(self, parts):
+        params, mcfg, ccfg = parts
+        ids = jax.random.randint(jax.random.PRNGKey(7), (2, 96), 0,
+                                 mcfg.vocab_size)
+        lengths = jnp.asarray([96, 70], jnp.int32)
+        lo1, st1, _ = llama.prefill_compressed(
+            params, ids, mcfg, ccfg, max_decode_len=8, lengths=lengths)
+        lo2, st2, _ = llama.prefill_compressed_chunked(
+            params, ids, mcfg, ccfg, chunk_size=32, max_decode_len=8,
+            lengths=lengths, use_flash=True)
+        np.testing.assert_allclose(np.asarray(lo2), np.asarray(lo1),
+                                   atol=1e-3)
+        for a, b in zip(jax.tree_util.tree_leaves(st1.caches),
+                        jax.tree_util.tree_leaves(st2.caches)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=4e-3)
+
+
 class TestAutoChunk:
     """prefill_chunk="auto" (round-4): chunk ONLY where chunking wins —
     the r3 sitting measured chunking worsening HOL at 4K/TinyLlama
