@@ -25,6 +25,7 @@ quality sensitivity is high and they are a small fraction of the bytes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict
 
 import jax
@@ -180,6 +181,77 @@ def quantize_expert_tensor(w: Array) -> QuantizedExpertTensor:
     return QuantizedExpertTensor(q=q, scale=scale)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int4ExpertTensor:
+    """Group-wise int4 MoE expert stack: Int4Tensor's half-split packed
+    layout (class docstring above) with a leading expert axis.
+
+    Composes the two round-4 decode levers: the dynslice MoE path slices
+    ONE expert's packed codes + scales (ops/moe.py) and feeds them to the
+    fused Pallas dequant-matmul (ops/pallas/int4_matmul.py), so batch-1
+    MoE decode streams 0.5 bytes/element of the routed experts — the
+    weight-streaming floor quarters vs bf16.
+    """
+
+    q_packed: Array  # [E, in_dim // 2, out] int8 (two nibbles per byte)
+    scale: Array     # [E, in_dim // G, out] float32
+    in_dim: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def shape(self):
+        return (self.q_packed.shape[0], self.in_dim,
+                self.q_packed.shape[-1])
+
+    @property
+    def group_size(self) -> int:
+        return self.in_dim // self.scale.shape[1]
+
+    def expert(self, e) -> Int4Tensor:
+        """Slice one expert's weight (e may be traced)."""
+        return Int4Tensor(
+            q_packed=jax.lax.dynamic_index_in_dim(self.q_packed, e, 0,
+                                                  keepdims=False),
+            scale=jax.lax.dynamic_index_in_dim(self.scale, e, 0,
+                                               keepdims=False),
+            in_dim=self.in_dim)
+
+    def dequantize(self, dtype=jnp.bfloat16) -> Array:
+        p = self.q_packed
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+        hi = jnp.right_shift(p, 4)
+        codes = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+        e, _, out = p.shape
+        n_g = self.scale.shape[1]
+        w = (codes.reshape(e, n_g, self.group_size, out)
+             * self.scale[:, :, None, :])
+        return w.reshape(e, self.in_dim, out).astype(dtype)
+
+
+def quantize_expert_tensor_int4(w: Array,
+                                group_size: int = 128) -> Int4ExpertTensor:
+    """Group-wise symmetric int4 along each expert's reduction axis
+    (same grouping/packing math as `quantize_tensor_int4`, vectorized
+    over the expert axis)."""
+    wf = w.astype(jnp.float32)
+    e, in_dim, out = wf.shape
+    if in_dim % 2:
+        raise ValueError(f"int4 packing needs even in_dim, got {in_dim}")
+    g = group_size if in_dim % (2 * group_size) == 0 else in_dim
+    n_g = in_dim // g
+    grouped = wf.reshape(e, n_g, g, out)
+    absmax = jnp.max(jnp.abs(grouped), axis=2)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(grouped / scale[:, :, None, :]), -7, 7)
+    q = q.astype(jnp.int8).reshape(e, in_dim, out)
+    half = in_dim // 2
+    lo, hi = q[:, :half], q[:, half:]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4),
+                            jnp.bitwise_and(lo, jnp.int8(0x0F)))
+    return Int4ExpertTensor(q_packed=packed.astype(jnp.int8), scale=scale,
+                            in_dim=in_dim)
+
+
 _MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 _EXPERT_KEYS = ("w_gate", "w_up", "w_down")
 
@@ -214,11 +286,13 @@ def quantize_params(params: Dict[str, Any], act_quant: bool = False,
         ql = {}
         for k, v in layer.items():
             if k == "moe":
-                # Expert stacks quantize per (expert, out-channel) int8
-                # (int4 experts not yet supported); the router gate stays
-                # full precision (tiny, routing-critical).
-                ql[k] = {mk: (quantize_expert_tensor(mv)
-                              if mk in _EXPERT_KEYS else mv)
+                # Expert stacks: int8 per (expert, out-channel), or
+                # grouped int4 at bits=4; the router gate stays full
+                # precision (tiny, routing-critical).
+                qe = (functools.partial(quantize_expert_tensor_int4,
+                                        group_size=group_size)
+                      if bits == 4 else quantize_expert_tensor)
+                ql[k] = {mk: (qe(mv) if mk in _EXPERT_KEYS else mv)
                          for mk, mv in v.items()}
             else:
                 ql[k] = (_quantize_matmul_weight(v, bits, act_quant,
@@ -252,11 +326,13 @@ def quantize_params_streaming(params: Dict[str, Any],
         for k in list(layer.keys()):
             v = layer.pop(k)
             if k == "moe":
+                qe = (functools.partial(quantize_expert_tensor_int4,
+                                        group_size=group_size)
+                      if bits == 4 else quantize_expert_tensor)
                 ql[k] = {}
                 for mk in list(v.keys()):
                     mv = v.pop(mk)
-                    ql[k][mk] = (quantize_expert_tensor(mv)
-                                 if mk in _EXPERT_KEYS else mv)
+                    ql[k][mk] = qe(mv) if mk in _EXPERT_KEYS else mv
                     del mv
             else:
                 ql[k] = (_quantize_matmul_weight(v, bits, act_quant,
@@ -278,14 +354,15 @@ def params_are_quantized(params: Any) -> bool:
     def visit(x):
         nonlocal found
         if isinstance(x, (QuantizedTensor, Int4Tensor,
-                          QuantizedExpertTensor)):
+                          QuantizedExpertTensor, Int4ExpertTensor)):
             found = True
         return x
 
     jax.tree_util.tree_map(
         visit, params,
         is_leaf=lambda x: isinstance(
-            x, (QuantizedTensor, Int4Tensor, QuantizedExpertTensor)))
+            x, (QuantizedTensor, Int4Tensor, QuantizedExpertTensor,
+                Int4ExpertTensor)))
     return found
 
 
@@ -301,7 +378,7 @@ def params_num_weights(params: Any) -> int:
 
     def visit(x):
         nonlocal total
-        if isinstance(x, Int4Tensor):
+        if isinstance(x, (Int4Tensor, Int4ExpertTensor)):
             total += x.q_packed.size * 2 + x.scale.size
         elif isinstance(x, (QuantizedTensor, QuantizedExpertTensor)):
             total += x.q.size + x.scale.size
@@ -312,5 +389,6 @@ def params_num_weights(params: Any) -> int:
     jax.tree_util.tree_map(
         visit, params,
         is_leaf=lambda x: isinstance(
-            x, (QuantizedTensor, Int4Tensor, QuantizedExpertTensor)))
+            x, (QuantizedTensor, Int4Tensor, QuantizedExpertTensor,
+                Int4ExpertTensor)))
     return total

@@ -150,6 +150,16 @@ def _moe_dynslice(moe: Dict[str, Array], x2: Array, w: Array, ids: Array,
     (the r3-measured 4.6x-off-floor defect of the gather path at batch 1).
     """
     def sdot(lhs, wt, e):
+        from ..models.quantized_params import Int4ExpertTensor
+
+        if isinstance(wt, Int4ExpertTensor):
+            # Fused Pallas dequant-matmul over ONE expert's packed codes:
+            # HBM reads 0.5 bytes/element of the routed expert only.
+            from .pallas.int4_matmul import int4_matmul_tensor
+
+            y = int4_matmul_tensor(lhs[None, :].astype(jnp.bfloat16),
+                                   wt.expert(e))[0]
+            return y.astype(jnp.float32)
         mat = jax.lax.dynamic_index_in_dim(_codes(wt), e, 0, keepdims=False)
         y = jnp.dot(lhs, mat.astype(lhs.dtype),
                     preferred_element_type=jnp.float32)
@@ -207,6 +217,17 @@ def moe_mlp(moe: Dict[str, Array], x: Array, cfg,
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     n = x2.shape[0]
+    from ..models.quantized_params import Int4ExpertTensor
+
+    if (any(isinstance(v, Int4ExpertTensor) for v in moe.values())
+            and not (impl == "dynslice"
+                     or (impl == "auto" and n <= _DYNSLICE_MAX_TOKENS))):
+        # int4 experts fuse only on the dynslice (decode) path; the
+        # batched paths dequantize up-front — prefill is FLOP-bound, so
+        # materializing bf16 expert weights there costs bandwidth the
+        # matmuls hide (decode, where it cannot hide, takes dynslice).
+        moe = {k: (v.dequantize() if isinstance(v, Int4ExpertTensor) else v)
+               for k, v in moe.items()}
     w, ids = router_topk(x2, moe["gate"], cfg.num_experts_per_tok)
     if impl == "auto":
         # dynslice for decode-sized batches (no gather materialization —
@@ -231,10 +252,12 @@ def moe_mlp(moe: Dict[str, Array], x: Array, cfg,
 
 def moe_mlp_reference(moe: Dict[str, Array], x: Array, cfg) -> Array:
     """Slow per-expert masked loop — the golden oracle for tests."""
-    from ..models.quantized_params import QuantizedExpertTensor
+    from ..models.quantized_params import (Int4ExpertTensor,
+                                           QuantizedExpertTensor)
 
     moe = {k: (v.dequantize(jnp.float32)
-               if isinstance(v, QuantizedExpertTensor) else v)
+               if isinstance(v, (QuantizedExpertTensor, Int4ExpertTensor))
+               else v)
            for k, v in moe.items()}
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])

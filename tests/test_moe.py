@@ -102,6 +102,49 @@ class TestMoeImpls:
         np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
                                    atol=1e-4)
 
+    def test_int4_experts_all_paths_track_reference(self, moe_setup):
+        """Int4ExpertTensor: dynslice runs the fused kernel per routed
+        expert; batched paths dequantize up-front. All must agree with the
+        dequantized oracle."""
+        from realtime_kv_cache_compression_tpu.models.quantized_params import (
+            quantize_expert_tensor_int4)
+        cfg, moe, x = moe_setup
+        qmoe = {k: (quantize_expert_tensor_int4(v, group_size=16)
+                    if k in ("w_gate", "w_up", "w_down") else v)
+                for k, v in moe.items()}
+        want = moe_ops.moe_mlp_reference(qmoe, x, cfg)
+        fp = moe_ops.moe_mlp_reference(moe, x, cfg)
+        # Loose sanity bound only: this random tiny model's outputs are
+        # near-zero-mean (heavy cancellation), so int4 noise reads large
+        # relative to them (~0.15 measured); the real check is that every
+        # impl agrees with the dequantized oracle below.
+        assert float(jnp.abs(want - fp).mean()) < 0.3 * float(
+            jnp.abs(fp).mean() + 1e-6)
+        for impl in ("ragged", "gather", "dense"):
+            got = moe_ops.moe_mlp(qmoe, x, cfg, impl=impl)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-2)
+        x1 = x[:, :2]
+        want1 = moe_ops.moe_mlp_reference(qmoe, x1, cfg)
+        got1 = moe_ops.moe_mlp(qmoe, x1, cfg, impl="dynslice")
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                                   atol=1e-2)
+
+    def test_quantize_params_int4_experts(self):
+        from realtime_kv_cache_compression_tpu.models.quantized_params import (
+            Int4ExpertTensor, params_are_quantized, quantize_params)
+        cfg = tiny_moe_cfg()
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        q = quantize_params(params, bits=4)
+        moe = q["layers"][0]["moe"]
+        assert isinstance(moe["w_gate"], Int4ExpertTensor)
+        assert params_are_quantized(q)
+        ccfg = CompressionConfig(num_layers=cfg.num_layers)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 48), 0,
+                                 cfg.vocab_size)
+        toks, _ = llama.generate(q, ids, cfg, ccfg, max_new_tokens=4)
+        assert toks.shape == (1, 4)
+
     def test_quantize_params_quantizes_experts(self):
         from realtime_kv_cache_compression_tpu.models.quantized_params import (
             QuantizedExpertTensor, params_are_quantized, quantize_params)
