@@ -49,21 +49,33 @@ def _kernel(x_lo_ref, x_hi_ref, w_ref, sl_ref, sh_ref, o_ref, acc_ref, *,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p = w_ref[...].astype(jnp.int32)              # [bk2, bn]
-    lo = jnp.left_shift(p, 28) >> 28              # sign-extended low nibble
-    hi = jnp.left_shift(p, 24) >> 28              # sign-extended high nibble
+    # Nibble unpack at int8 lane rate (no int32 widening — the r4 sitting
+    # measured the f32-widened dequant VPU-bound at 14 ms/step, ABOVE the
+    # 4.2 ms packed-byte streaming floor): left-shift wraps, arithmetic
+    # right shift sign-extends.
+    p = w_ref[...]                                # [bk2, bn] int8
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
 
-    def dequant(codes, s_ref):
+    def half(x_ref, codes, s_ref):
+        # Scale the per-group PARTIAL [bm, bn] instead of the [bk2, bn]
+        # weight block: the scale multiply shrinks by bk2/bm (64x at
+        # decode bm=8, block_k2=512), and the codes go to the MXU as raw
+        # bf16 nibbles — one astype pass, no f32 scale pass.
         s = s_ref[...][:, 0, :]                   # [R, 1, bn] f32 -> [R, bn]
         r = s.shape[0]
-        bk2, bn = codes.shape
-        c = codes.astype(jnp.float32).reshape(r, bk2 // r, bn)
-        return (c * s[:, None, :]).reshape(bk2, bn).astype(compute_dtype)
+        bk2 = codes.shape[0]
+        gsz = bk2 // r
+        w = codes.astype(compute_dtype)           # [bk2, bn] unscaled
+        x = x_ref[...]                            # [bm, bk2]
+        for g in range(r):
+            part = jnp.dot(x[:, g * gsz:(g + 1) * gsz],
+                           w[g * gsz:(g + 1) * gsz],
+                           preferred_element_type=jnp.float32)
+            acc_ref[...] += part * s[g][None, :]
 
-    acc_ref[...] += jnp.dot(x_lo_ref[...], dequant(lo, sl_ref),
-                            preferred_element_type=jnp.float32)
-    acc_ref[...] += jnp.dot(x_hi_ref[...], dequant(hi, sh_ref),
-                            preferred_element_type=jnp.float32)
+    half(x_lo_ref, lo, sl_ref)
+    half(x_hi_ref, hi, sh_ref)
 
     @pl.when(k_idx == nk - 1)
     def _finalize():
