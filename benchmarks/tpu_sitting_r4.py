@@ -452,6 +452,145 @@ def chunked_hol_32k():
 
 
 # ---------------------------------------------------------------------------
+@phase("moe_decode_int4")
+def moe_decode_int4():
+    """Int4 expert stacks through the fused kernel on the dynslice path
+    (composes the int4 + MoE round-4 levers): same Mixtral-arch config as
+    moe_decode_r4, floor recomputed at 0.5 bytes/element expert traffic."""
+    import jax
+
+    import realtime_kv_cache_compression_tpu as rtc
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params)
+
+    HBM_GBS = 819e9
+    seq, new = 2048, 64
+    base = dict(vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+                num_layers=12, num_heads=16, num_kv_heads=4, head_dim=128,
+                max_position_embeddings=seq + new + 16, rope_theta=1e6,
+                num_experts=8, num_experts_per_tok=2)
+    mcfg = rtc.ModelConfig(**base)
+    ccfg = rtc.CompressionConfig(num_layers=mcfg.num_layers,
+                                 high_precision_bits=8,
+                                 medium_precision_bits=4,
+                                 low_precision_bits=2)
+    params = quantize_params(
+        llama.init_params(jax.random.PRNGKey(0), mcfg), bits=4)
+    expert = other = 0
+    for layer in params["layers"]:
+        for k, v in layer.items():
+            leaves = jax.tree_util.tree_leaves(v)
+            nb = sum(x.size * x.dtype.itemsize for x in leaves)
+            if k == "moe":
+                gate_nb = (v["gate"].size * v["gate"].dtype.itemsize
+                           if hasattr(v["gate"], "size") else 0)
+                expert += nb - gate_nb
+                other += gate_nb
+            else:
+                other += nb
+    for k, v in params.items():
+        if k != "layers":
+            other += sum(x.size * x.dtype.itemsize
+                         for x in jax.tree_util.tree_leaves(v))
+    streamed = other + expert * (mcfg.num_experts_per_tok
+                                 / mcfg.num_experts)
+    fl = streamed / HBM_GBS * 1e3
+    dcfg = dataclasses.replace(mcfg, moe_impl="dynslice")
+    times = _decode_times(mcfg, ccfg, params, seq, new, reps=5,
+                          decode_mcfg=dcfg)
+    arm = _stats(times, new - 1)
+    arm["floor_ms"] = round(fl, 2)
+    arm["streamed_gb_per_step"] = round(streamed / 1e9, 2)
+    arm["x_floor"] = round(arm["ms_per_step_best"] / fl, 2)
+    print(f"  dynslice_int4: {arm['ms_per_step_best']} ms/step "
+          f"(floor {fl:.2f} -> {arm['x_floor']}x)", flush=True)
+    del params
+    free()
+    return {"config": base, "dynslice_int4": arm}
+
+
+# ---------------------------------------------------------------------------
+@phase("flash_d128_r4")
+def flash_d128_r4():
+    """r3 stretch #8: push flash d=128 past 34.9% of roof. Candidate:
+    stats_via_mxu — fold the denominator + prompt-mass [bq,bk] VPU
+    reductions into one p @ [ones | indicator] MXU tile per rep. A/B over
+    {stats_via_mxu, exp_bf16} x block shapes at the 7B GQA shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_kv_cache_compression_tpu.ops.pallas.flash_prefill import (
+        flash_prefill_with_prompt_mass)
+    from realtime_kv_cache_compression_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
+    s, d, b = 4096, 128, 1
+    peak_tfs = 197.0  # v5e bf16
+    out = {"seq": s, "head_dim": d, "rtt_ms": rtt * 1e3,
+           "r3_best": {"gqa_ms": 1.997, "pct_roof": 34.9}, "shapes": {}}
+    for label, hq, hkv in (("gqa_32q_8kv", 32, 8),
+                           ("7b_mha_32q_32kv", 32, 32)):
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (b, s, hq, d), jnp.bfloat16)
+        k = jax.random.normal(key, (b, s, hkv, d), jnp.bfloat16)
+        v = jax.random.normal(key, (b, s, hkv, d), jnp.bfloat16)
+        flops = 4 * b * hq * (s * s / 2) * d
+        rows = {}
+        best = None
+        for sv in (False, True):
+            for expb in (False, True):
+                for bq, bk in ((256, 512), (512, 512), (512, 1024),
+                               (1024, 512)):
+                    tag = (f"{bq}x{bk}" + ("_mxu" if sv else "")
+                           + ("_expb" if expb else ""))
+                    try:
+                        CHAIN = 8
+
+                        @jax.jit
+                        def chained(q, k, v, bq=bq, bk=bk, sv=sv,
+                                    expb=expb):
+                            def body(qc, _):
+                                o = flash_prefill_with_prompt_mass(
+                                    qc, k, v, 128, block_q=bq, block_k=bk,
+                                    stats_via_mxu=sv, exp_bf16=expb)[0]
+                                return (qc + 1e-6 * o).astype(qc.dtype), ()
+                            qf, _ = jax.lax.scan(body, q, None,
+                                                 length=CHAIN)
+                            return qf
+
+                        float(jnp.asarray(chained(q, k, v)[0, 0, 0, :8],
+                                          jnp.float32).sum())
+                        ts = []
+                        for _ in range(3):
+                            t0 = time.time()
+                            float(jnp.asarray(
+                                chained(q, k, v)[0, 0, 0, :8],
+                                jnp.float32).sum())
+                            ts.append(time.time() - t0 - rtt)
+                        t = min(ts)
+                        ms = t / CHAIN * 1e3
+                        tfs = flops / (t / CHAIN) / 1e12
+                        rows[tag] = {"ms": round(ms, 3),
+                                     "tf_s": round(tfs, 1),
+                                     "pct_roof": round(
+                                         100 * tfs / peak_tfs, 1)}
+                        if best is None or ms < rows[best]["ms"]:
+                            best = tag
+                        print(f"  {label} {tag}: {ms:.3f} ms "
+                              f"({tfs:.0f} TF/s, "
+                              f"{100*tfs/peak_tfs:.1f}%)", flush=True)
+                    except Exception as e:
+                        rows[tag] = {"error": str(e)[:200]}
+                        print(f"  {label} {tag}: ERROR {e}", flush=True)
+        out["shapes"][label] = {"blocks": rows, "best": best,
+                                "best_pct_roof": rows.get(best, {}).get(
+                                    "pct_roof")}
+        free()
+    return out
+
+
+# ---------------------------------------------------------------------------
 ALL = ["http_serving_r4", "fused_auto_check_r4", "chunked_hol_32k",
        "moe_decode_r4", "int4_decode_fused"]
 

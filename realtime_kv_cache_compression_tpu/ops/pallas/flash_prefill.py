@@ -40,7 +40,8 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   pm_ref, m_scr, l_scr, acc_scr, pmass_scr,
                   *, sm_scale: float, block_q: int, block_k: int,
                   kv_blocks: int, n_rep: int, causal: bool = True,
-                  exp_bf16: bool = False, rect: bool = False):
+                  exp_bf16: bool = False, rect: bool = False,
+                  stats_via_mxu: bool = False):
     """Grid (batch, kv_head, q_block, kv_block): the whole GQA group
     (`n_rep` query heads sharing one kv head) processes per step, so each
     K/V block DMAs once for the group and the grid is H_q/n_rep times
@@ -83,6 +84,19 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
                + kv_idx * block_k)                    # [1, bk]
 
+    if stats_via_mxu:
+        # Stats matrix S [bk, 128]: column 0 = ones (softmax denominator),
+        # column 1 = prompt indicator (prompt mass). One p @ S MXU pass
+        # per rep replaces BOTH [bq, bk] VPU reduction passes (sum + the
+        # masked prompt sum) — trading one N=128 matmul tile for two
+        # full-tile vector passes. Built once per grid step.
+        krow = (jax.lax.broadcasted_iota(jnp.int32, (block_k, 128), 0)
+                + kv_idx * block_k)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_k, 128), 1)
+        stats_mat = jnp.where(
+            lane == 0, 1.0,
+            jnp.where((lane == 1) & (krow < plen[0, 0]), 1.0, 0.0))
+
     def _process(apply_causal: bool):
         # Keep q/k/v in their input dtype for the dots (bf16 runs the MXU
         # at native rate with f32 accumulation).
@@ -115,27 +129,37 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 # ∈ (-inf, 0], where bf16's 8-bit mantissa costs ~4e-3
                 # relative — the same order as the bf16 PV matmul below.
                 p = jnp.exp2((s - m_next).astype(jnp.bfloat16))  # [bq, bk]
-                l_curr = jnp.sum(p, axis=1, keepdims=True,
-                                 dtype=jnp.float32)
             else:
                 p = jnp.exp2(s - m_next)              # [bq, bk]
-                l_curr = jnp.sum(p, axis=1, keepdims=True)
             m_scr[:, rc] = m_next
-            l_scr[:, rc] = alpha * l_prev + l_curr
+            if stats_via_mxu:
+                # One MXU tile computes BOTH the denominator contribution
+                # (S col 0) and the prompt mass (S col 1); bf16 p dots
+                # accumulate f32, matching the VPU path's precision.
+                stats = jax.lax.dot(p, stats_mat.astype(p.dtype),
+                                    preferred_element_type=jnp.float32)
+                l_curr = stats[:, 0:1]
+                l_scr[:, rc] = alpha * l_prev + l_curr
+                pmass_scr[:, rc] = (alpha * pmass_scr[:, rc]
+                                    + stats[:, 1:2])
+            else:
+                l_curr = jnp.sum(p, axis=1, keepdims=True,
+                                 dtype=jnp.float32)
+                l_scr[:, rc] = alpha * l_prev + l_curr
 
-            # Prompt-mass side-channel: the alpha rescale runs every block;
-            # the masked column sum only where the block overlaps the
-            # prompt prefix (causality is already in p via the mask value
-            # making exp ≈ 0).
-            pmass_scr[:, rc] = alpha * pmass_scr[:, rc]
+                # Prompt-mass side-channel: the alpha rescale runs every
+                # block; the masked column sum only where the block
+                # overlaps the prompt prefix (causality is already in p
+                # via the mask value making exp ≈ 0).
+                pmass_scr[:, rc] = alpha * pmass_scr[:, rc]
 
-            @pl.when(in_prompt_block)
-            def _prompt_contrib(rc=rc, p=p):
-                contrib = jnp.sum(
-                    jnp.where(col_ids < plen, p,
-                              jnp.zeros((), p.dtype)),
-                    axis=1, keepdims=True, dtype=jnp.float32)
-                pmass_scr[:, rc] = pmass_scr[:, rc] + contrib
+                @pl.when(in_prompt_block)
+                def _prompt_contrib(rc=rc, p=p):
+                    contrib = jnp.sum(
+                        jnp.where(col_ids < plen, p,
+                                  jnp.zeros((), p.dtype)),
+                        axis=1, keepdims=True, dtype=jnp.float32)
+                    pmass_scr[:, rc] = pmass_scr[:, rc] + contrib
 
             acc_scr[r] = acc_scr[r] * alpha + jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -186,7 +210,7 @@ def _flash_attention_bhsd(
     q: Array, k: Array, v: Array, plens: Array, *, sm_scale: float,
     block_q: int, block_k: int, interpret: bool, causal: bool = True,
     fold_gqa: bool = True, exp_bf16: bool = False,
-    q_offset: Optional[Array] = None,
+    q_offset: Optional[Array] = None, stats_via_mxu: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Flash attention on [B, H, S, D] tensors (S divisible by blocks).
 
@@ -218,7 +242,7 @@ def _flash_attention_bhsd(
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
         kv_blocks=nkv, n_rep=rep, causal=causal, exp_bf16=exp_bf16,
-        rect=rect)
+        rect=rect, stats_via_mxu=stats_via_mxu)
     o, lse, pm = pl.pallas_call(
         kernel,
         grid=grid,
@@ -274,8 +298,14 @@ def flash_prefill_with_prompt_mass(
     prompt_lens: Optional[Array] = None,
     fold_gqa: bool = True,
     exp_bf16: bool = False,
+    stats_via_mxu: bool = False,
 ) -> Tuple[Array, Array]:
     """Causal flash attention + in-kernel prompt attention-mass side-channel.
+
+    stats_via_mxu folds the denominator + prompt-mass reductions into one
+    p @ [ones | indicator] MXU tile per rep (kernel docstring) — an
+    autotunable A/B for d=128 shapes where the kernel sits near the
+    VPU/MXU balance point (34.9% of roof at the 7B GQA shape, r3).
 
     Drop-in replacement for
     `ops.attention.prefill_attention_with_prompt_mass` (same contract):
@@ -326,7 +356,8 @@ def flash_prefill_with_prompt_mass(
                                         block_q=block_q, block_k=block_k,
                                         interpret=interpret,
                                         fold_gqa=fold_gqa,
-                                        exp_bf16=exp_bf16)
+                                        exp_bf16=exp_bf16,
+                                        stats_via_mxu=stats_via_mxu)
     o = o[:, :, :s]
     pm = pm[:, :, :s]
     return o.transpose(0, 2, 1, 3), pm.mean(axis=1)

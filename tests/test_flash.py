@@ -49,6 +49,28 @@ def test_flash_variant_flags(rng, fold, expb):
     np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref), atol=tol)
 
 
+@pytest.mark.parametrize("expb", [False, True])
+def test_flash_stats_via_mxu(rng, expb):
+    """stats_via_mxu folds the denominator + prompt-mass reductions into
+    one p @ [ones | indicator] MXU tile (round-4 d=128 candidate) — must
+    be exact vs the dense reference, including ragged prompt lengths."""
+    from realtime_kv_cache_compression_tpu.ops.attention import (
+        prefill_attention_with_prompt_mass)
+    b, s, hq, hkv, d, p = 2, 256, 4, 2, 32, 64
+    q, k, v = make_qkv(rng, b, s, hq, hkv, d)
+    plens = jnp.asarray([50, 17], jnp.int32)
+    o_ref, pm_ref = prefill_attention_with_prompt_mass(
+        q, k, v, p, prompt_lens=plens)
+    o, pm = flash_prefill_with_prompt_mass(q, k, v, p, block_q=128,
+                                           block_k=128, interpret=True,
+                                           prompt_lens=plens,
+                                           exp_bf16=expb,
+                                           stats_via_mxu=True)
+    tol = 3e-2 if expb else 2e-5
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=tol)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref), atol=tol)
+
+
 def test_flash_unpadded_vs_padded_sequence(rng):
     """S not divisible by the block size exercises the padding path."""
     b, s, hq, hkv, d, p = 1, 192, 2, 2, 32, 24
