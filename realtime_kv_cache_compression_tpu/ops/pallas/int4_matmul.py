@@ -49,13 +49,15 @@ def _kernel(x_lo_ref, x_hi_ref, w_ref, sl_ref, sh_ref, o_ref, acc_ref, *,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Nibble unpack at int8 lane rate (no int32 widening — the r4 sitting
-    # measured the f32-widened dequant VPU-bound at 14 ms/step, ABOVE the
-    # 4.2 ms packed-byte streaming floor): left-shift wraps, arithmetic
-    # right shift sign-extends.
-    p = w_ref[...]                                # [bk2, bn] int8
-    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
-    hi = jnp.right_shift(p, 4)
+    # Nibble unpack: shifts must run at i32 (Mosaic cannot legalize
+    # arith.shli on i8 vectors — measured on HW, r4 sitting); the real
+    # dequant saving is below — scales apply to the dot PARTIALS, so the
+    # unpack is shift+astype only, with no f32 scale pass over the weight
+    # block (the r4-measured VPU bottleneck: 14 ms/step vs the ~4.2 ms
+    # packed-byte streaming floor).
+    p = w_ref[...].astype(jnp.int32)              # [bk2, bn]
+    lo = jnp.left_shift(p, 28) >> 28              # sign-extended low nibble
+    hi = jnp.left_shift(p, 24) >> 28              # sign-extended high nibble
 
     def half(x_ref, codes, s_ref):
         # Scale the per-group PARTIAL [bm, bn] instead of the [bk2, bn]
