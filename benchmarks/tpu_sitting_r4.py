@@ -452,6 +452,43 @@ def chunked_hol_32k():
 
 
 # ---------------------------------------------------------------------------
+@phase("w8a8_decode")
+def w8a8_decode():
+    """W8A8 at 7B batch-1 decode: int8 weights are convert-bound above
+    their 7.8 ms streaming floor (measured 13.6 ms — the int8->bf16
+    convert is ~1 VPU pass over 6.7e9 weights); act_quant routes matmuls
+    through the native int8xint8 MXU kernel (ops/pallas/int8_matmul.py),
+    removing the convert from the weight stream."""
+    import jax
+
+    import realtime_kv_cache_compression_tpu as rtc
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params_streaming)
+
+    out = {"arms": {}}
+    seq, new = 4096, 64
+    mcfg = dataclasses.replace(rtc.LLAMA2_7B,
+                               max_position_embeddings=seq + new + 16)
+    ccfg = rtc.CompressionConfig(num_layers=mcfg.num_layers,
+                                 high_precision_bits=8,
+                                 medium_precision_bits=4,
+                                 low_precision_bits=2)
+    for label, act in (("w8_bf16act", False), ("w8a8", True)):
+        params = quantize_params_streaming(
+            llama.init_params(jax.random.PRNGKey(0), mcfg), act_quant=act)
+        times = _decode_times(mcfg, ccfg, params, seq, new, reps=5)
+        arm = _stats(times, new - 1)
+        arm["tok_s"] = round((new - 1) / min(times), 1)
+        out["arms"][label] = arm
+        print(f"  {label}: {arm['ms_per_step_best']} ms/step "
+              f"({arm['tok_s']} tok/s)", flush=True)
+        del params
+        free()
+    return out
+
+
+# ---------------------------------------------------------------------------
 @phase("moe_decode_int4")
 def moe_decode_int4():
     """Int4 expert stacks through the fused kernel on the dynslice path
