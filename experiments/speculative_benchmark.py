@@ -42,6 +42,16 @@ def main():
     ap.add_argument("--flash", action="store_true",
                     help="flash prefill + library-flash training")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--adaptive", action="store_true",
+                    help="add an adaptive_speculative_decode arm (host-side "
+                    "controller that falls back to plain decode chunks when "
+                    "realized tokens-per-forward collapses)")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="adaptive arm chunk length")
+    ap.add_argument("--params-dir", default=None,
+                    help="orbax checkpoint dir: load the trained model if "
+                    "present, else train and save there (same contract as "
+                    "quality_demo --params-dir)")
     ap.add_argument("--output-dir",
                     default="experiments/results/speculative")
     args = ap.parse_args()
@@ -72,10 +82,24 @@ def main():
                                  medium_precision_bits=4,
                                  low_precision_bits=2)
 
-    print(f"training {args.task} model (fillers {fillers})...", flush=True)
-    params = train_recall_model(mcfg, args.task, args.steps,
-                                args.train_batch, args.payload, fillers,
-                                lr=args.lr, use_flash=args.flash)
+    ckpt = (os.path.join(os.path.abspath(args.params_dir), args.task)
+            if args.params_dir else None)
+    if ckpt and os.path.exists(ckpt):
+        from realtime_kv_cache_compression_tpu.models import checkpoint
+        template = jax.eval_shape(
+            lambda: llama.init_params(jax.random.PRNGKey(0), mcfg))
+        params = checkpoint.load_checkpoint(ckpt, template)
+        print(f"loaded {args.task} params from {ckpt}", flush=True)
+    else:
+        print(f"training {args.task} model (fillers {fillers})...",
+              flush=True)
+        params = train_recall_model(mcfg, args.task, args.steps,
+                                    args.train_batch, args.payload, fillers,
+                                    lr=args.lr, use_flash=args.flash)
+        if ckpt:
+            from realtime_kv_cache_compression_tpu.models import checkpoint
+            checkpoint.save_checkpoint(ckpt, params)
+            print(f"saved {args.task} params to {ckpt}", flush=True)
 
     rtt = measure_rtt()
     print(f"rtt {rtt*1e3:.1f} ms", flush=True)
@@ -121,6 +145,24 @@ def main():
                             rtt, reps=args.reps)
         t_spec, _ = timed(lambda: float(run_spec(first, state)[0].sum()),
                           rtt, reps=args.reps)
+        adaptive_row = None
+        if args.adaptive:
+            def run_adaptive():
+                toks, _, st = speculative.adaptive_speculative_decode(
+                    params, first, state, n_steps, mcfg, ccfg,
+                    prompt_ids=prompt, n_draft=args.n_draft,
+                    chunk=args.chunk)
+                return toks, st
+            toks_a, st_a = run_adaptive()        # compile both chunk arms
+            assert jnp.array_equal(ref, toks_a), "adaptive != greedy output"
+            t_adapt, _ = timed(lambda: float(run_adaptive()[0].sum()),
+                               rtt, reps=args.reps)
+            adaptive_row = dict(
+                ms=t_adapt * 1e3, speedup=t_greedy / t_adapt,
+                forwards=st_a["forwards"],
+                spec_chunks=st_a["spec_chunks"],
+                plain_chunks=st_a["plain_chunks"],
+                draft_rate=st_a["draft_rate"], chunk=args.chunk)
         row = dict(
             filler=filler, n_steps=n_steps, eval_batch=args.eval_batch,
             n_draft=args.n_draft, em=em,
@@ -132,12 +174,20 @@ def main():
             spec_tok_s=n_steps * args.eval_batch / t_spec,
             speedup=t_greedy / t_spec,
         )
+        if adaptive_row is not None:
+            row["adaptive"] = adaptive_row
         results.append(row)
         print(f"[filler={filler}] em={em:.3f} iters={row['iterations']}"
               f"/{n_steps} accept={row['accept_rate']:.2f} "
               f"greedy {row['greedy_ms']:.1f} ms vs spec "
               f"{row['spec_ms']:.1f} ms -> {row['speedup']:.2f}x",
               flush=True)
+        if adaptive_row is not None:
+            print(f"[filler={filler}] adaptive {adaptive_row['ms']:.1f} ms "
+                  f"-> {adaptive_row['speedup']:.2f}x "
+                  f"(spec_chunks={adaptive_row['spec_chunks']} "
+                  f"plain_chunks={adaptive_row['plain_chunks']} "
+                  f"forwards={adaptive_row['forwards']})", flush=True)
 
     os.makedirs(args.output_dir, exist_ok=True)
     out = dict(task=args.task, model_layers=args.model_layers,

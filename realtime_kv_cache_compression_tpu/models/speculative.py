@@ -245,6 +245,7 @@ def speculative_decode_loop(
     prompt_lens: Optional[Array] = None,
     n_draft: int = 4,
     proposer: Optional[Callable[[Array, Array, Array], Array]] = None,
+    prev_token: Optional[Array] = None,
 ) -> Tuple[Array, DecodeState, Dict[str, Array]]:
     """Greedy speculative decode: token-identical to `decode_loop`, up to
     (n_draft+1)x fewer forward passes.
@@ -261,6 +262,11 @@ def speculative_decode_loop(
       proposer: optional override, called as proposer(last2 [B,2],
         count [B], out [B,n_steps]) -> [B, n_draft] drafts. `count` is the
         number of tokens emitted so far (excluding first_token).
+      prev_token: [B] the token generated immediately BEFORE `first_token`
+        (seeds the bigram for the first proposal). Defaults to the prompt's
+        last token — correct when `first_token` came from prefill; a
+        continuation of an earlier generation (adaptive_speculative_decode's
+        chunks) must pass the true predecessor.
 
     Returns (tokens [B, n_steps], state, stats) where stats carries
     `iterations` (forward passes run) and `drafted_accepted` /
@@ -275,16 +281,17 @@ def speculative_decode_loop(
             return propose_prompt_lookup(prompt_ids, prompt_lens, last2,
                                          n_draft)
 
-    prompt_last = jnp.take_along_axis(
-        prompt_ids, (prompt_lens - 1)[:, None].astype(jnp.int32),
-        axis=1)[:, 0]
+    if prev_token is None:
+        prev_token = jnp.take_along_axis(
+            prompt_ids, (prompt_lens - 1)[:, None].astype(jnp.int32),
+            axis=1)[:, 0]
     ring_cap = state.recents[0].capacity
     have_pools = bool(state.pools) and state.pools[0] is not None
 
     init = dict(
         state=state,
         last_tok=first_token.astype(jnp.int32),
-        prev_tok=prompt_last.astype(jnp.int32),
+        prev_tok=prev_token.astype(jnp.int32),
         out=jnp.zeros((b, n_steps), jnp.int32),
         count=jnp.zeros((b,), jnp.int32),
         iters=jnp.zeros((), jnp.int32),
@@ -355,3 +362,140 @@ def speculative_decode_loop(
             final["iters"] * n_draft * b, 1),
     }
     return final["out"], final["state"], stats
+
+
+# ---------------------------------------------------------------------------
+# Adaptive drafting: fall back to plain decode when acceptance collapses
+# ---------------------------------------------------------------------------
+
+# One compiled program per (config, chunk length, n_draft, proposer) — the
+# host loop below alternates between entries, so they must persist across
+# calls (timing reps / serving requests) or every rep would recompile.
+_ADAPTIVE_PROGRAMS: Dict = {}
+
+
+def _spec_chunk_fn(cfg, ccfg, chunk, n_draft, proposer_key, proposer):
+    key = ("spec", cfg, ccfg, chunk, n_draft, proposer_key)
+    if key not in _ADAPTIVE_PROGRAMS:
+        @jax.jit
+        def f(params, first, prev, state, prompt_ids, prompt_lens):
+            return speculative_decode_loop(
+                params, first, state, chunk, cfg, ccfg, prompt_ids,
+                prompt_lens, n_draft, proposer=proposer, prev_token=prev)
+        _ADAPTIVE_PROGRAMS[key] = f
+    return _ADAPTIVE_PROGRAMS[key]
+
+
+def _plain_chunk_fn(cfg, ccfg, chunk):
+    key = ("plain", cfg, ccfg, chunk)
+    if key not in _ADAPTIVE_PROGRAMS:
+        from .llama import decode_loop
+
+        @jax.jit
+        def f(params, first, state):
+            return decode_loop(params, first, state, chunk, cfg, ccfg)
+        _ADAPTIVE_PROGRAMS[key] = f
+    return _ADAPTIVE_PROGRAMS[key]
+
+
+def adaptive_speculative_decode(
+    params: Params,
+    first_token: Array,
+    state: DecodeState,
+    n_steps: int,
+    cfg: ModelConfig,
+    ccfg: CompressionConfig,
+    prompt_ids: Array,
+    prompt_lens: Optional[Array] = None,
+    n_draft: int = 4,
+    chunk: int = 16,
+    min_tokens_per_forward: float = 1.3,
+    probe_every: int = 4,
+    proposer: Optional[Callable[[Array, Array, Array], Array]] = None,
+) -> Tuple[Array, DecodeState, Dict]:
+    """Speculative decode that cannot lose to plain decode by more than one
+    probe chunk in `probe_every`: a host-side controller measures realized
+    tokens-per-forward per chunk and switches arms.
+
+    Round-3 measured failure this guards (benchmarks/RESULTS.md
+    "End-to-end speculative decode"): prompt-lookup acceptance collapsed to
+    0.32 at 4K filler and speculative ran 0.71x plain decode — misprediction
+    cost is real when the generation stops copying prompt spans. A fixed
+    n_draft must be chosen per workload; this controller observes the
+    workload instead:
+
+      - decode in chunks of `chunk` tokens, each chunk one XLA program
+        (the speculative while_loop or plain decode_loop's scan);
+      - after a speculative chunk, tokens-per-forward = chunk/iterations
+        (EMA-smoothed). Below `min_tokens_per_forward` (verify forward at
+        T=n_draft+1 costs ~1.0-1.3x a T=1 step on the weight-streaming-bound
+        shapes this targets), switch to plain chunks;
+      - re-probe with one speculative chunk every `probe_every` plain chunks
+        (acceptance recovers when the generation re-enters a copyable span).
+
+    Output is token-identical to `decode_loop` (greedy): both arms emit
+    greedy-verified tokens and commit byte-identical cache state, asserted
+    in tests/test_speculative.py for good AND adversarial proposers.
+
+    Returns (tokens [B, n_steps], state, stats). stats["arms"] is the
+    per-chunk arm trace [("spec", tokens_per_forward) | ("plain", 1.0)];
+    stats["forwards"] the total verify/decode forward count (the cost
+    driver); stats["draft_rate"] the acceptance over speculative chunks.
+    """
+    b = first_token.shape[0]
+    if prompt_lens is None:
+        prompt_lens = jnp.full((b,), prompt_ids.shape[1], jnp.int32)
+    prev = jnp.take_along_axis(
+        prompt_ids, (prompt_lens - 1)[:, None].astype(jnp.int32),
+        axis=1)[:, 0].astype(jnp.int32)
+    last = first_token.astype(jnp.int32)
+
+    proposer_key = proposer  # hashable function object; None = prompt-lookup
+    outs: List[Array] = []
+    arms: List[Tuple[str, float]] = []
+    done = 0
+    forwards = 0
+    drafted = 0
+    accepted = 0
+    ema = None
+    spec_on = True
+    plain_since_probe = 0
+    while done < n_steps:
+        c = min(chunk, n_steps - done)
+        if spec_on:
+            run = _spec_chunk_fn(cfg, ccfg, c, n_draft, proposer_key,
+                                 proposer)
+            out, state, st = run(params, last, prev, state, prompt_ids,
+                                 prompt_lens)
+            iters = int(st["iterations"])
+            forwards += iters
+            drafted += iters * n_draft * b
+            accepted += int(st["drafted_accepted"])
+            tpf = c / max(iters, 1)
+            ema = tpf if ema is None else 0.5 * ema + 0.5 * tpf
+            arms.append(("spec", tpf))
+            if ema < min_tokens_per_forward:
+                spec_on = False
+                plain_since_probe = 0
+                ema = None  # forget the collapsed regime before re-probing
+        else:
+            run = _plain_chunk_fn(cfg, ccfg, c)
+            out, state = run(params, last, state)
+            forwards += c
+            arms.append(("plain", 1.0))
+            plain_since_probe += 1
+            if plain_since_probe >= probe_every:
+                spec_on = True
+        done += c
+        prev = out[:, -2] if c >= 2 else last
+        last = out[:, -1]
+        outs.append(out)
+
+    stats = {
+        "arms": arms,
+        "forwards": forwards,
+        "draft_rate": accepted / max(drafted, 1),
+        "spec_chunks": sum(1 for a, _ in arms if a == "spec"),
+        "plain_chunks": sum(1 for a, _ in arms if a == "plain"),
+    }
+    return jnp.concatenate(outs, axis=1), state, stats

@@ -163,3 +163,44 @@ def test_jit_compiles_once(rng):
                                     use_fused=False)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
     assert int(iters) >= 1
+
+
+def test_adaptive_token_identical_good_and_bad_drafts(rng):
+    """adaptive_speculative_decode is token-identical to decode_loop under
+    BOTH a perfect proposer (stays speculative) and an adversarial one
+    (controller must fall back to plain chunks), and the adversarial run's
+    forward count stays within one probe chunk per probe_every of plain."""
+    params, ids, ccfg, state, first = setup(rng, batch=1, s=64,
+                                            max_decode_len=96)
+    n_steps, n_draft, chunk = 48, 3, 8
+    ref_toks, ref_state = llama.decode_loop(params, first, state, n_steps,
+                                            MCFG, ccfg, use_fused=False)
+
+    toks, fstate, stats = speculative.adaptive_speculative_decode(
+        params, first, state, n_steps, MCFG, ccfg, prompt_ids=ids,
+        n_draft=n_draft, chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+    np.testing.assert_array_equal(np.asarray(fstate.position),
+                                  np.asarray(ref_state.position))
+
+    def adversarial(last2, count, out):
+        # Always-wrong drafts: shift last token by 1 mod vocab.
+        bad = (last2[:, 1:2] + 1) % MCFG.vocab_size
+        return jnp.broadcast_to(bad, (last2.shape[0], n_draft))
+
+    toks_b, fstate_b, stats_b = speculative.adaptive_speculative_decode(
+        params, first, state, n_steps, MCFG, ccfg, prompt_ids=ids,
+        n_draft=n_draft, chunk=chunk, probe_every=100,
+        proposer=adversarial)
+    np.testing.assert_array_equal(np.asarray(toks_b), np.asarray(ref_toks))
+    assert stats_b["plain_chunks"] >= 1, stats_b
+    # Collapsed acceptance: every speculative chunk costs ~chunk forwards
+    # (tokens-per-forward ~1); after the first the controller must switch,
+    # so total forwards stay within ~1 spec chunk of plain decoding.
+    assert stats_b["forwards"] <= n_steps + chunk + n_draft, stats_b
+    # Probe path: with probe_every=2 the controller re-tries speculation.
+    toks_c, _, stats_c = speculative.adaptive_speculative_decode(
+        params, first, state, n_steps, MCFG, ccfg, prompt_ids=ids,
+        n_draft=n_draft, chunk=chunk, probe_every=2, proposer=adversarial)
+    np.testing.assert_array_equal(np.asarray(toks_c), np.asarray(ref_toks))
+    assert stats_c["spec_chunks"] >= 2, stats_c
