@@ -361,6 +361,36 @@ def main():
         quantize_params)
 
     results = {}
+    # Traceability: every committed artifact row must be reproducible from
+    # the artifact alone (VERDICT round-2 #3).
+    results["meta"] = {
+        "argv": sys.argv[1:],
+        "platform": args.platform,
+        "tasks": tasks,
+        "train_fillers": fillers,
+        "eval_fillers": eval_fillers,
+        "steps": args.steps,
+        "batch": args.batch,
+        "payload": args.payload,
+        "lr": args.lr,
+        "model_layers": args.model_layers,
+        "eval_samples": args.eval_samples,
+        "min_baseline": args.min_baseline,
+        "depths": args.depths,
+        "flash": args.flash,
+        "date": time.strftime("%Y-%m-%d %H:%M"),
+    }
+
+    def dump():
+        # Incremental + atomic: a multi-hour TPU run that dies mid-eval
+        # keeps every completed row (a full round-4 recall sweep was lost
+        # to an end-only write).
+        os.makedirs(args.output_dir, exist_ok=True)
+        path = os.path.join(args.output_dir, "quality_demo.json")
+        with open(path + ".tmp", "w") as f:
+            json.dump(results, f, indent=2)
+        os.replace(path + ".tmp", path)
+
     for task in tasks:
         ckpt = (os.path.join(os.path.abspath(args.params_dir), task)
                 if args.params_dir else None)
@@ -420,6 +450,7 @@ def main():
                           flush=True)
                     results.setdefault("uninformative_rows", {})[
                         row_key] = {"baseline_fp": base}
+                    dump()
                     continue
                 ctx["baseline_fp"] = base
             for name, ccfg in task_arms.items():
@@ -441,29 +472,9 @@ def main():
                 ctx[name] = r
                 print(line, flush=True)
             results[row_key] = ctx
+            dump()
 
-    # Traceability: every committed artifact row must be reproducible from
-    # the artifact alone (VERDICT round-2 #3).
-    results["meta"] = {
-        "argv": sys.argv[1:],
-        "platform": args.platform,
-        "tasks": tasks,
-        "train_fillers": fillers,
-        "eval_fillers": eval_fillers,
-        "steps": args.steps,
-        "batch": args.batch,
-        "payload": args.payload,
-        "lr": args.lr,
-        "model_layers": args.model_layers,
-        "eval_samples": args.eval_samples,
-        "min_baseline": args.min_baseline,
-        "depths": args.depths,
-        "flash": args.flash,
-        "date": time.strftime("%Y-%m-%d %H:%M"),
-    }
-    os.makedirs(args.output_dir, exist_ok=True)
-    with open(os.path.join(args.output_dir, "quality_demo.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    dump()
     print(f"wrote {args.output_dir}/quality_demo.json", flush=True)
 
 
