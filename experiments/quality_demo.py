@@ -381,6 +381,18 @@ def main():
         "date": time.strftime("%Y-%m-%d %H:%M"),
     }
 
+    def eval_retry(*a, **kw):
+        # One retry on transient relay/compile failures ("remote_compile:
+        # response body closed before all bytes were read" killed a 40-min
+        # TPU eval sweep mid-row; the retry recompiles from cache).
+        try:
+            return recall_accuracy(*a, **kw)
+        except Exception as e:
+            print(f"  eval failed ({type(e).__name__}: {e}) — retrying "
+                  "in 90 s", flush=True)
+            time.sleep(90)
+            return recall_accuracy(*a, **kw)
+
     def dump():
         # Incremental + atomic: a multi-hour TPU run that dies mid-eval
         # keeps every completed row (a full round-4 recall sweep was lost
@@ -433,7 +445,7 @@ def main():
             # recorded under "uninformative_rows" (model limitation, not a
             # compression result) and the arms are skipped.
             if "baseline_fp" in task_arms:
-                base = recall_accuracy(arm_params["baseline_fp"], mcfg, None,
+                base = eval_retry(arm_params["baseline_fp"], mcfg, None,
                                        task, args.eval_samples, args.payload,
                                        filler, use_flash=args.flash,
                                        eval_batch=args.eval_batch,
@@ -456,7 +468,7 @@ def main():
             for name, ccfg in task_arms.items():
                 if name == "baseline_fp":
                     continue
-                r = recall_accuracy(arm_params[name], mcfg, ccfg, task,
+                r = eval_retry(arm_params[name], mcfg, ccfg, task,
                                     args.eval_samples, args.payload, filler,
                                     use_flash=args.flash,
                                     eval_batch=args.eval_batch, depth=depth)
