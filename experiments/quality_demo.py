@@ -258,6 +258,10 @@ def main():
                          "PARAMS_DIR/<task> if present, else train and "
                          "save there (orbax)")
     ap.add_argument("--output-dir", default="experiments/results/quality_demo")
+    ap.add_argument("--merge-existing", action="store_true",
+                    help="keep rows already in output-dir/quality_demo.json "
+                    "(new rows overwrite by key); prior runs' meta blocks "
+                    "are preserved under meta_prior_runs for traceability")
     args = ap.parse_args()
 
     import jax
@@ -361,6 +365,17 @@ def main():
         quantize_params)
 
     results = {}
+    out_path = os.path.join(args.output_dir, "quality_demo.json")
+    if args.merge_existing and os.path.exists(out_path):
+        with open(out_path) as f:
+            old = json.load(f)
+        prior = old.pop("meta_prior_runs", [])
+        if "meta" in old:
+            prior.append(old.pop("meta"))
+        results.update(old)
+        if prior:
+            results["meta_prior_runs"] = prior
+        print(f"merged {len(old)} existing rows from {out_path}", flush=True)
     # Traceability: every committed artifact row must be reproducible from
     # the artifact alone (VERDICT round-2 #3).
     results["meta"] = {
