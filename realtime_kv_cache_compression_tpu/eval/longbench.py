@@ -19,6 +19,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -181,13 +182,18 @@ class LongBenchEvaluator:
     def __init__(self, runner: ModelRunner, tokenizer=None,
                  output_dir: Optional[str] = None,
                  max_length: int = 4096, data_dir: Optional[str] = None,
-                 synthetic_kwargs: Optional[Dict] = None):
+                 synthetic_kwargs: Optional[Dict] = None,
+                 reference_parity: bool = False):
         self.runner = runner
         self.tokenizer = tokenizer or ByteTokenizer()
         self.output_dir = output_dir
         self.max_length = max_length
         self.data_dir = data_dir
         self.synthetic_kwargs = synthetic_kwargs or {}
+        # reference_parity=True scores F1/EM with the reference's exact
+        # formulas (set-overlap F1, article-keeping normalize, empty->0.0 —
+        # eval/metrics.py docstring) for BASELINE.md-comparable numbers.
+        self.reference_parity = reference_parity
 
     # -- generation ---------------------------------------------------------
 
@@ -210,12 +216,15 @@ class LongBenchEvaluator:
     def _sample_metrics(self, task: TaskSpec, response: str,
                         answers: List[str]) -> Dict[str, float]:
         out: Dict[str, float] = {}
+        parity = self.reference_parity
+        f1_fn = functools.partial(M.f1_score, reference_parity=parity)
+        em_fn = functools.partial(M.exact_match, reference_parity=parity)
         for m in task.metrics:
             if m == "f1":
-                out["f1"] = M.best_over_ground_truths(M.f1_score, response,
+                out["f1"] = M.best_over_ground_truths(f1_fn, response,
                                                       answers)
             elif m == "em":
-                out["em"] = M.best_over_ground_truths(M.exact_match, response,
+                out["em"] = M.best_over_ground_truths(em_fn, response,
                                                       answers)
             elif m == "accuracy":
                 out["accuracy"] = M.best_over_ground_truths(

