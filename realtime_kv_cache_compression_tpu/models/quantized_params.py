@@ -252,7 +252,8 @@ def quantize_expert_tensor_int4(w: Array,
                             in_dim=in_dim)
 
 
-_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                "wqkv", "w_gateup")  # fused names: llama.fuse_params
 _EXPERT_KEYS = ("w_gate", "w_up", "w_down")
 
 

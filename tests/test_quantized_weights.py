@@ -94,3 +94,57 @@ def test_quantized_decode_matches_quantized_prefill(rng):
                                       ccfg)
     np.testing.assert_allclose(np.asarray(logits_dec),
                                np.asarray(logits_pre), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused QKV / gate-up weights (llama.fuse_params)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("quant", ["raw", "int8", "int4"])
+def test_fused_params_bitwise_identical_prefill(rng, quant):
+    """fuse_params concatenates output columns only — same per-column math
+    and quantization scales, so logits match to dot-reassociation
+    tolerance (XLA may re-block the reduction for the wider output) and
+    greedy decode tokens are identical."""
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params as qp)
+
+    cfg = tiny_test_model(num_layers=2)
+    ccfg = CompressionConfig(num_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    if quant == "int8":
+        params = qp(params)
+    elif quant == "int4":
+        params = qp(params, bits=4, group_size=16)
+    fused = llama.fuse_params(params)
+    assert "wqkv" in fused["layers"][0]
+    assert "wq" not in fused["layers"][0]
+    assert "w_gateup" in fused["layers"][0]
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0,
+                             cfg.vocab_size)
+    lg1, st1, _ = llama.prefill_compressed(params, ids, cfg, ccfg,
+                                           max_decode_len=8)
+    lg2, st2, _ = llama.prefill_compressed(fused, ids, cfg, ccfg,
+                                           max_decode_len=8)
+    np.testing.assert_allclose(np.asarray(lg1, np.float32),
+                               np.asarray(lg2, np.float32),
+                               rtol=1e-3, atol=1e-3)
+    t1, _ = llama.decode_loop(params, jnp.argmax(lg1, -1), st1, 6, cfg, ccfg)
+    t2, _ = llama.decode_loop(fused, jnp.argmax(lg2, -1), st2, 6, cfg, ccfg)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_fused_params_qkv_bias(rng):
+    cfg = tiny_test_model(num_layers=2, qkv_bias=True)
+    ccfg = CompressionConfig(num_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    fused = llama.fuse_params(params)
+    assert "bqkv" in fused["layers"][0]
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 48), 0,
+                             cfg.vocab_size)
+    lg1, _, _ = llama.prefill_compressed(params, ids, cfg, ccfg)
+    lg2, _, _ = llama.prefill_compressed(fused, ids, cfg, ccfg)
+    np.testing.assert_allclose(np.asarray(lg1, np.float32),
+                               np.asarray(lg2, np.float32),
+                               rtol=1e-3, atol=1e-3)
