@@ -163,10 +163,21 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
         def _run(e=e, k_r=k_r, v_r=v_r, sc_r=sc_r, pos_r=pos_r):
             pos_ok = pos_r[0] <= qpos            # [1, N] (broadcasts)
             n = e.seg_tokens
-            for h in range(hkv):
-                rs = slice(h * rep, (h + 1) * rep)
-                q = q_ref[0, h].astype(jnp.float32)          # [rep, d]
+            g = e.g
 
+            def head_scales(h):
+                sc4 = sc_r[0, h]                 # [4G, N]
+                return (sc4[0:g], sc4[g:2 * g], sc4[2 * g:3 * g],
+                        sc4[3 * g:4 * g])        # ksc, kzp, vsc, vzp
+
+            # Pass 1: per-head score dots, batched into [hkv*rep, N] — the
+            # online-softmax state then updates ONCE for all heads instead
+            # of hkv times per segment (at 7B MHA that is 32 -> 1 update
+            # chains of [1, N] VPU ops; the r5 ablation put the decode gap
+            # in exactly this per-segment op count).
+            rows = []
+            for h in range(hkv):
+                q = q_ref[0, h].astype(jnp.float32)          # [rep, d]
                 if e.bits == 16:
                     k = k_r[0, h].astype(jnp.float32)        # [N, d]
                     s = jax.lax.dot_general(
@@ -174,10 +185,7 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
                         preferred_element_type=jnp.float32) * sm_scale
                 else:
                     ck = _unpack_codes(k_r[0, h], e.bits, n, d, w=e.w)
-                    sc4 = sc_r[0, h]                         # [4G, N]
-                    g = e.g
-                    ksc, kzp = sc4[0:g], sc4[g:2 * g]
-                    vsc, vzp = sc4[2 * g:3 * g], sc4[3 * g:4 * g]
+                    ksc, kzp, _, _ = head_scales(h)
                     if g == 1:
                         cs = jax.lax.dot_general(
                             q, ck, (((1,), (1,)), ((), ())),
@@ -190,33 +198,43 @@ def _decode_kernel(qpos_ref, q_ref, *refs, sm_scale: float,
                         s = jax.lax.dot_general(
                             q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
+                rows.append(s)
+            s = jnp.concatenate(rows, axis=0)                # [hkv*rep, N]
+            s = jnp.where(pos_ok, s, NEG_INF)
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)                 # [hkv*rep, 1]
+            p = jnp.exp(s - m_next)                          # [hkv*rep, N]
+            m_scr[...] = m_next
+            l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
-                s = jnp.where(pos_ok, s, NEG_INF)
-                m_prev = m_scr[rs]
-                l_prev = l_scr[rs]
-                m_curr = jnp.max(s, axis=1, keepdims=True)
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp(m_prev - m_next)
-                p = jnp.exp(s - m_next)                      # [rep, N]
-                m_scr[rs] = m_next
-                l_scr[rs] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
+            # Pass 2: per-head PV dots, batched acc update.
+            pvs = []
+            for h in range(hkv):
+                rs = slice(h * rep, (h + 1) * rep)
+                p_h = p[rs]                                  # [rep, N]
                 if e.bits == 16:
                     v = v_r[0, h].astype(jnp.float32)
-                    pv = jax.lax.dot(p, v,
+                    pv = jax.lax.dot(p_h, v,
                                      preferred_element_type=jnp.float32)
                 else:
                     cv = _unpack_codes(v_r[0, h], e.bits, n, d, w=e.w)
-                    if e.g == 1:
-                        pv = jax.lax.dot(p * vsc, cv,
+                    _, _, vsc, vzp = head_scales(h)
+                    if g == 1:
+                        pv = jax.lax.dot(p_h * vsc, cv,
                                          preferred_element_type=jnp.float32)
-                        pv -= jnp.sum(p * (vsc * vzp), axis=1, keepdims=True)
+                        pv -= jnp.sum(p_h * (vsc * vzp), axis=1,
+                                      keepdims=True)
                     else:
                         v = ((cv - _expand_groups(vzp, d))
                              * _expand_groups(vsc, d))
-                        pv = jax.lax.dot(p, v,
+                        pv = jax.lax.dot(p_h, v,
                                          preferred_element_type=jnp.float32)
-                acc_scr[rs] = acc_scr[rs] * alpha + pv
+                pvs.append(pv)
+            acc_scr[...] = (acc_scr[...] * alpha
+                            + jnp.concatenate(pvs, axis=0))
 
     @pl.when(seg == total_segs - 1)
     def _finalize():
