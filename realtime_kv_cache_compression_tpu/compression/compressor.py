@@ -299,6 +299,66 @@ def concat_layer_caches(caches: List[CompressedLayerCache]
     return CompressedLayerCache(tiers=tuple(tiers))
 
 
+def empty_layer_cache(batch: int, chunk_size: int, n_chunks: int,
+                      layer_idx: int, cfg: CompressionConfig,
+                      model_cfg: ModelConfig) -> CompressedLayerCache:
+    """All-invalid layer cache sized for `n_chunks` chunk-compressions.
+
+    The compressed-prefix chunked prefill (models/llama.py
+    prefill_chunked_compressed_*) preallocates this once and
+    `update_cache_chunk`s each chunk's pools into their slot range. Tier
+    shapes are derived by tracing one chunk's `compress_layer_kv`
+    (jax.eval_shape — zero FLOPs), so the layout can never drift from the
+    compressor; the slot axis then scales by n_chunks with the packing
+    chunk recorded per tier (same layout as `concat_layer_caches`).
+    """
+    h, d = model_cfg.num_kv_heads, model_cfg.head_dim
+    kv = jax.ShapeDtypeStruct((batch, chunk_size, h, d),
+                              jnp.dtype(model_cfg.dtype))
+    mass = jax.ShapeDtypeStruct((batch, chunk_size), jnp.float32)
+    mm = jax.ShapeDtypeStruct((batch, 1), jnp.float32)
+    tmpl, _ = jax.eval_shape(
+        lambda k, v, m, mn, mx: compress_layer_kv(
+            k, v, m, layer_idx, cfg, model_cfg, shard_offset=0,
+            total_len=chunk_size * n_chunks, minmax=(mn, mx)),
+        kv, kv, mass, mm, mm)
+    tiers = []
+    for t in tmpl.tiers:
+        grown = {}
+        for f in ("k_stored", "v_stored", "k_scale", "k_zp", "v_scale",
+                  "v_zp", "positions", "valid"):
+            sds = getattr(t, f)
+            shape = (sds.shape[0], sds.shape[1] * n_chunks) + sds.shape[2:]
+            grown[f] = jnp.zeros(shape, sds.dtype)
+        # Invalid slots carry position 0 + valid=False; every consumer
+        # masks on `valid` (attention via POS_SENTINEL folding, selection
+        # via the mask), so zeros are safe.
+        tiers.append(TierCache(**grown, chunk=t.chunk
+                               if t.chunk is not None else t.positions.shape[1]))
+    return CompressedLayerCache(tiers=tuple(tiers))
+
+
+def update_cache_chunk(cache: CompressedLayerCache,
+                       chunk_cache: CompressedLayerCache,
+                       chunk_idx) -> CompressedLayerCache:
+    """Write one chunk's freshly-compressed pools into slot range
+    `chunk_idx` of a preallocated `empty_layer_cache` (traced chunk_idx —
+    one compiled program serves every chunk of a bucket)."""
+    tiers = []
+    for big, small in zip(cache.tiers, chunk_cache.tiers):
+        upd = {}
+        for f in ("k_stored", "v_stored", "k_scale", "k_zp", "v_scale",
+                  "v_zp", "positions", "valid"):
+            b_arr = getattr(big, f)
+            s_arr = getattr(small, f).astype(b_arr.dtype)
+            off = chunk_idx * s_arr.shape[1]
+            start = (jnp.zeros((), jnp.int32), off) + tuple(
+                jnp.zeros((), jnp.int32) for _ in s_arr.shape[2:])
+            upd[f] = jax.lax.dynamic_update_slice(b_arr, s_arr, start)
+        tiers.append(TierCache(**upd, chunk=big.chunk))
+    return CompressedLayerCache(tiers=tuple(tiers))
+
+
 def compress_layer_kv_chunked(
     k: Array,
     v: Array,

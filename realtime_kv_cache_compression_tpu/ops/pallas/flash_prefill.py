@@ -36,12 +36,11 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                  pm_ref, m_scr, l_scr, acc_scr, pmass_scr,
-                  *, sm_scale: float, block_q: int, block_k: int,
+def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, *rest,
+                  sm_scale: float, block_q: int, block_k: int,
                   kv_blocks: int, n_rep: int, causal: bool = True,
                   exp_bf16: bool = False, rect: bool = False,
-                  stats_via_mxu: bool = False):
+                  stats_via_mxu: bool = False, positioned: bool = False):
     """Grid (batch, kv_head, q_block, kv_block): the whole GQA group
     (`n_rep` query heads sharing one kv head) processes per step, so each
     K/V block DMAs once for the group and the grid is H_q/n_rep times
@@ -62,6 +61,18 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         disappears, and exp→exp2 drops the ln2 multiply the VPU would
         otherwise do inside every exp. Running m/l stats are base-2; the
         lse output converts back to ln space at finalize."""
+    # positioned=True (compressed-prefix chunked prefill): keys are pool
+    # slots at ARBITRARY global positions carried in a kpos operand
+    # (invalid slots = POS_SENTINEL); visibility is kpos <= global query
+    # row and the prompt indicator is kpos < plen — per-element, with no
+    # interior fast path (slots are unordered) and every kv block visited.
+    if positioned:
+        (kpos_ref, o_ref, lse_ref, pm_ref,
+         m_scr, l_scr, acc_scr, pmass_scr) = rest
+    else:
+        kpos_ref = None
+        (o_ref, lse_ref, pm_ref,
+         m_scr, l_scr, acc_scr, pmass_scr) = rest
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -81,10 +92,14 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     # program serves every chunk of a bucket (models/llama.py chunked
     # carry contract). Square mode keeps the offset at literal 0.
     q_off = qoff_ref[0, 0] if rect else 0
-    col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-               + kv_idx * block_k)                    # [1, bk]
+    if positioned:
+        col_ids = kpos_ref[...]                       # [1, bk] global pos
+    else:
+        col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                   + kv_idx * block_k)                # [1, bk]
 
     if stats_via_mxu:
+        assert not positioned, "stats_via_mxu unsupported in positioned mode"
         # Stats matrix S [bk, 128]: column 0 = ones (softmax denominator),
         # column 1 = prompt indicator (prompt mass). One p @ S MXU pass
         # per rep replaces BOTH [bq, bk] VPU reduction passes (sum + the
@@ -131,6 +146,12 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 p = jnp.exp2((s - m_next).astype(jnp.bfloat16))  # [bq, bk]
             else:
                 p = jnp.exp2(s - m_next)              # [bq, bk]
+            if positioned:
+                # A row whose visible keys are ALL masked ends with
+                # m_next == MASK_VALUE and p == 1 at masked columns;
+                # zeroing p keeps l at 0 so finalize emits o=0/lse=-inf
+                # (the partial then vanishes in the lse merge).
+                p = jnp.where(visible, p, jnp.zeros((), p.dtype))
             m_scr[:, rc] = m_next
             if stats_via_mxu:
                 # One MXU tile computes BOTH the denominator contribution
@@ -153,7 +174,9 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 # via the mask value making exp ≈ 0).
                 pmass_scr[:, rc] = alpha * pmass_scr[:, rc]
 
-                @pl.when(in_prompt_block)
+                # Positioned mode: prompt columns can sit in any block
+                # (slots are unordered) — the gate is always open there.
+                @pl.when(True if positioned else in_prompt_block)
                 def _prompt_contrib(rc=rc, p=p):
                     contrib = jnp.sum(
                         jnp.where(col_ids < plen, p,
@@ -164,7 +187,11 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             acc_scr[r] = acc_scr[r] * alpha + jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
-    if causal:
+    if positioned:
+        # Pool slots are unordered: every block needs the per-element
+        # position compare, and no block can be skipped.
+        _process(apply_causal=True)
+    elif causal:
         first_row = q_idx * block_q + q_off
         last_row = first_row + block_q - 1
         c0 = kv_idx * block_k
@@ -185,7 +212,7 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         _process(apply_causal=False)
 
     # Last kv block this q block needs: write normalized output.
-    if causal:
+    if causal and not positioned:
         last_kv = jnp.minimum((q_off + (q_idx + 1) * block_q - 1) // block_k,
                               kv_blocks - 1)
     else:
@@ -211,6 +238,7 @@ def _flash_attention_bhsd(
     block_q: int, block_k: int, interpret: bool, causal: bool = True,
     fold_gqa: bool = True, exp_bf16: bool = False,
     q_offset: Optional[Array] = None, stats_via_mxu: bool = False,
+    k_positions: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Flash attention on [B, H, S, D] tensors (S divisible by blocks).
 
@@ -236,17 +264,15 @@ def _flash_attention_bhsd(
         grid_h, rep, kmap = hq, 1, (lambda g: g // n_rep)
 
     rect = q_offset is not None
+    positioned = k_positions is not None
     qoff = (jnp.zeros((1, 1), jnp.int32) if q_offset is None
             else jnp.asarray(q_offset, jnp.int32).reshape(1, 1))
     grid = (b, grid_h, nq, nkv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
         kv_blocks=nkv, n_rep=rep, causal=causal, exp_bf16=exp_bf16,
-        rect=rect, stats_via_mxu=stats_via_mxu)
-    o, lse, pm = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+        rect=rect, stats_via_mxu=stats_via_mxu, positioned=positioned)
+    in_specs = [
             pl.BlockSpec((1, 1, 1), lambda b, g, qi, ki: (b, 0, 0)),
             pl.BlockSpec((1, 1), lambda b, g, qi, ki: (0, 0)),
             pl.BlockSpec((1, rep, block_q, d),
@@ -255,7 +281,16 @@ def _flash_attention_bhsd(
                          lambda b, g, qi, ki: (b, kmap(g), ki, 0)),
             pl.BlockSpec((1, 1, block_k, d),
                          lambda b, g, qi, ki: (b, kmap(g), ki, 0)),
-        ],
+    ]
+    operands = [q, k, v]
+    if positioned:
+        in_specs.append(pl.BlockSpec((1, block_k),
+                                     lambda b, g, qi, ki: (b, ki)))
+        operands.append(k_positions)
+    o, lse, pm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, rep, block_q, d),
                          lambda b, g, qi, ki: (b, g, qi, 0)),
@@ -280,7 +315,7 @@ def _flash_attention_bhsd(
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(plens, qoff, q, k, v)
+    )(plens, qoff, *operands)
     # [B, grid_h, rep, S] → [B, Hq, S] (kv-grouped heads are contiguous).
     lse = lse.reshape(b, hq, s)
     pm = pm.reshape(b, hq, s)
@@ -473,3 +508,120 @@ def flash_pair_attention(
         block_q=block_q, block_k=block_k, interpret=interpret,
         causal=causal)
     return o.transpose(0, 2, 1, 3), lse, pm
+
+
+POS_SENTINEL = 1 << 30  # matches decode_attention / kv_cache convention
+
+
+def merge_attention_partials(parts):
+    """Exact log-sum-exp merge of normalized attention partials.
+
+    parts: sequence of (o [B, S, Hq, D], lse [B, Hq, S], pm [B, Hq, S])
+    from flash_pair_attention / flash_positioned_attention over DISJOINT
+    key sets. Returns (out [B, S, Hq, D], pmass [B, S] head-averaged) —
+    identical math to the ring-attention merge (parallel/ring_attention.py).
+    """
+    lse_all = jnp.stack([p[1] for p in parts])          # [T, B, Hq, S]
+    m = jnp.max(lse_all, axis=0)
+    w = jnp.exp(lse_all - m[None])
+    w_sum = jnp.maximum(w.sum(axis=0), 1e-30)
+    o_all = jnp.stack([p[0].astype(jnp.float32) for p in parts])
+    w_q = jnp.moveaxis(w, 3, 2)                         # [T, B, S, Hq]
+    out = (o_all * w_q[..., None]).sum(axis=0) / \
+        jnp.moveaxis(w_sum, 2, 1)[..., None]            # [B, S, Hq, D]
+    pm_all = jnp.stack([p[2] for p in parts])
+    pm = (pm_all * w).sum(axis=0) / w_sum               # [B, Hq, S]
+    return out, pm
+
+
+def flash_positioned_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    k_pos: Array,
+    q_offset: Array,
+    prompt_len: int,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array, Array]:
+    """Flash attention of chunk queries over POSITIONED key slots.
+
+    The pool half of compressed-prefix chunked prefill: keys are compressed
+    pool slots at arbitrary global positions (invalid slots folded to
+    POS_SENTINEL by the caller); visibility is k_pos <= q_offset+row and
+    the prompt indicator is k_pos < prompt_len — all per-element inside
+    the kernel, no [c, N] score materialization.
+
+    Args:
+      q: [B, c, H_q, D]; k, v: [B, N, H_kv, D] dequantized pool slots.
+      k_pos: [B, N] int32 global positions (invalid -> POS_SENTINEL).
+      q_offset: traced scalar — global position of the chunk's first row.
+      prompt_len: static prompt bound.
+
+    Returns (o [B, c, Hq, D] normalized partial, lse [B, Hq, c],
+    pm [B, Hq, c]) for `merge_attention_partials`.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, c, hq, d = q.shape
+    n = k.shape[1]
+    sm_scale = 1.0 / (d ** 0.5)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    block_q = min(block_q, max(8, 1 << (c - 1).bit_length()))
+    block_k = min(block_k, max(8, 1 << (n - 1).bit_length()))
+    pad_q = (-c) % block_q
+    pad_k = (-n) % block_k
+    if pad_q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        k_pos = jnp.pad(k_pos, ((0, 0), (0, pad_k)),
+                        constant_values=POS_SENTINEL)
+    plens = jnp.full((b, 1, 1), prompt_len, jnp.int32)
+    o, lse, pm = _flash_attention_bhsd(
+        qt, kt, vt, plens, sm_scale=sm_scale, block_q=block_q,
+        block_k=block_k, interpret=interpret, causal=True,
+        q_offset=q_offset, k_positions=k_pos.astype(jnp.int32))
+    return (o[:, :, :c].transpose(0, 2, 1, 3), lse[:, :, :c],
+            pm[:, :, :c])
+
+
+def flash_compressed_prefix_attention(
+    q: Array,
+    k_pool: Array,
+    v_pool: Array,
+    pos_pool: Array,
+    valid_pool: Array,
+    k_chunk: Array,
+    v_chunk: Array,
+    q_offset: Array,
+    prompt_len: int,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Chunk attention over {compressed pools} ++ {own chunk}, flash form.
+
+    Two flash partials — positioned over the dequantized pools, square
+    causal over the chunk itself — merged with the exact lse combination.
+    Drop-in for the dense `ops.attention.positioned_attention_with_
+    prompt_mass` over the concatenated set (models/llama.py
+    prefill_chunked_compressed_step use_flash=True).
+
+    Returns (out [B, c, Hq, D], prompt_mass [B, c]).
+    """
+    b, c, hq, d = q.shape
+    kpos = jnp.where(valid_pool, pos_pool, POS_SENTINEL)
+    part_pool = flash_positioned_attention(
+        q, k_pool, v_pool, kpos, q_offset, prompt_len,
+        block_q=block_q, block_k=block_k, interpret=interpret)
+    plen_local = jnp.clip(prompt_len - q_offset, 0, c)
+    part_self = flash_pair_attention(
+        q, k_chunk, v_chunk, jnp.broadcast_to(plen_local, (b,)),
+        causal=True, block_q=block_q, block_k=block_k, interpret=interpret)
+    out, pm = merge_attention_partials([part_pool, part_self])
+    return out.astype(q.dtype), pm.mean(axis=1)
