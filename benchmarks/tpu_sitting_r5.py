@@ -303,6 +303,209 @@ def decode_opt_7b():
 
 
 # ---------------------------------------------------------------------------
+@phase("decode_blockbytes_7b")
+def decode_blockbytes_7b():
+    """At 7B (hkv*d = 4096 B/row) the decode kernel's per-segment row count
+    is bound by _MAX_BLOCK_BYTES (960 KB -> 234 rows), not by
+    decode_segment_tokens — ~10 segments/layer whose fixed costs dominate
+    the attention share. Sweep the byte cap upward (VMEM has headroom at
+    7B: only one pool's K+V blocks double-buffer at a time)."""
+    import jax
+    import jax.numpy as jnp
+
+    import realtime_kv_cache_compression_tpu as rtc
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params_streaming)
+    from realtime_kv_cache_compression_tpu.ops.pallas import decode_attention
+    from realtime_kv_cache_compression_tpu.utils.timing import (measure_rtt,
+                                                                readback)
+
+    seq, new = 4096, 64
+    mcfg = dataclasses.replace(rtc.LLAMA2_7B,
+                               max_position_embeddings=seq + new + 16)
+    ccfg = rtc.CompressionConfig(num_layers=mcfg.num_layers,
+                                 high_precision_bits=8,
+                                 medium_precision_bits=4,
+                                 low_precision_bits=2)
+    params = llama.fuse_params(quantize_params_streaming(
+        llama.init_params(jax.random.PRNGKey(0), mcfg), bits=8))
+    rtt = measure_rtt()
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, seq), 0,
+                             mcfg.vocab_size)
+    prefill = jax.jit(lambda p, i: llama.prefill_compressed(
+        p, i, mcfg, ccfg, max_decode_len=new, use_flash=True))
+    logits, state, _ = prefill(params, ids)
+    tok = jnp.argmax(logits, -1)
+
+    out = {"arms": {}}
+    orig = decode_attention._MAX_BLOCK_BYTES
+    try:
+        for cap_kb in (960, 1920, 3840):
+            decode_attention._MAX_BLOCK_BYTES = cap_kb * 1024
+            jax.clear_caches()
+            loop = jax.jit(lambda p, t, s: llama.decode_loop(
+                p, t, s, new - 1, mcfg, ccfg)[0])
+            try:
+                readback(loop(params, tok, state))
+            except Exception as e:
+                out["arms"][f"cap{cap_kb}k"] = {"error": str(e)[:300]}
+                save()
+                continue
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                readback(loop(params, tok, state))
+                ts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+            st = _stats(ts, new - 1)
+            st["tok_s"] = round((new - 1) / min(ts), 1)
+            out["arms"][f"cap{cap_kb}k"] = st
+            print(f"  cap {cap_kb}KB: {st}", flush=True)
+            save()
+    finally:
+        decode_attention._MAX_BLOCK_BYTES = orig
+    return out
+
+
+# ---------------------------------------------------------------------------
+@phase("int4_offsetbinary_7b")
+def int4_offsetbinary_7b():
+    """Re-measure 7B int4 fused decode after the r5 offset-binary repack
+    (5 VPU ops/byte unpack vs 7; probe_matvec_r5 predicted -20% on the
+    isolated matvec). Compare against decode_opt_7b's int4_fused_w (11.5)
+    and int8_fused_w (11.3)."""
+    import jax
+    import jax.numpy as jnp
+
+    import realtime_kv_cache_compression_tpu as rtc
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.models.quantized_params import (
+        quantize_params_streaming)
+    from realtime_kv_cache_compression_tpu.utils.timing import (measure_rtt,
+                                                                readback)
+
+    seq, new = 4096, 64
+    mcfg = dataclasses.replace(rtc.LLAMA2_7B,
+                               max_position_embeddings=seq + new + 16)
+    ccfg = rtc.CompressionConfig(num_layers=mcfg.num_layers,
+                                 high_precision_bits=8,
+                                 medium_precision_bits=4,
+                                 low_precision_bits=2)
+    params = llama.fuse_params(quantize_params_streaming(
+        llama.init_params(jax.random.PRNGKey(0), mcfg), bits=4))
+    rtt = measure_rtt()
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, seq), 0,
+                             mcfg.vocab_size)
+    prefill = jax.jit(lambda p, i: llama.prefill_compressed(
+        p, i, mcfg, ccfg, max_decode_len=new, use_flash=True))
+    logits, state, _ = prefill(params, ids)
+    tok = jnp.argmax(logits, -1)
+    loop = jax.jit(lambda p, t, s: llama.decode_loop(
+        p, t, s, new - 1, mcfg, ccfg)[0])
+    readback(loop(params, tok, state))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        readback(loop(params, tok, state))
+        ts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+    st = _stats(ts, new - 1)
+    st["tok_s"] = round((new - 1) / min(ts), 1)
+    print(f"  int4 offset-binary: {st}", flush=True)
+    return {"int4_fused_offsetbinary": st,
+            "r5_signed_halfsplit_ms": 11.5, "int8_fused_ms": 11.3}
+
+
+# ---------------------------------------------------------------------------
+@phase("ttft_compressed_prefix")
+def ttft_compressed_prefix():
+    """TTFT improved BY compression (VERDICT r4 item 2 done-bar).
+
+    TinyLlama-arch bf16 (the BENCH headline model), batch 1, at 4K/8K/32K:
+      uncomp          one-shot uncompressed flash prefill (the arm the
+                      compressed path must BEAT at >= 8K)
+      comp_oneshot    one-shot compressed prefill (r4's losing arm:
+                      102.9 vs 87.3 ms at 4K)
+      comp_prefix     compressed-prefix chunked prefill (flash): later
+                      chunks attend over the compressed pools of earlier
+                      chunks — prefix attention work scales by the kept
+                      ratio instead of 1.0
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import realtime_kv_cache_compression_tpu as rtc
+    from realtime_kv_cache_compression_tpu.models import llama
+    from realtime_kv_cache_compression_tpu.utils.timing import (measure_rtt,
+                                                                readback)
+
+    out = {"lengths": {}}
+    rtt = measure_rtt()
+    new = 16
+
+    for seq, chunk in ((4096, 1024), (8192, 2048), (32768, 4096)):
+        mcfg = dataclasses.replace(rtc.TINYLLAMA_1_1B,
+                                   max_position_embeddings=seq + new + 16)
+        ccfg = rtc.CompressionConfig(num_layers=mcfg.num_layers,
+                                     high_precision_bits=8,
+                                     medium_precision_bits=4,
+                                     low_precision_bits=2)
+        params = llama.init_params(jax.random.PRNGKey(0), mcfg)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, seq), 0,
+                                 mcfg.vocab_size)
+        row = {}
+
+        def best_of(fn, reps=3):
+            readback(fn())
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                readback(fn())
+                ts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+            return min(ts) * 1e3
+
+        un = jax.jit(lambda p, i: llama.prefill_uncompressed(
+            p, i, mcfg, use_flash=True)[0])
+        row["uncomp_ms"] = round(best_of(lambda: un(params, ids)), 1)
+        free()
+
+        co = jax.jit(lambda p, i: llama.prefill_compressed(
+            p, i, mcfg, ccfg, max_decode_len=new, use_flash=True)[0])
+        row["comp_oneshot_ms"] = round(best_of(lambda: co(params, ids)), 1)
+        free()
+
+        # Compressed-prefix chunked: time init + all chunk steps + finish
+        # (one jitted step program; chunks run sequentially like serving).
+        step = jax.jit(lambda p, i, t: llama.prefill_chunked_compressed_step(
+            p, i, t, mcfg, ccfg, total_len=seq, use_flash=True))
+        fin = jax.jit(lambda p, t: llama.prefill_chunked_compressed_finish(
+            p, t, mcfg, ccfg, max_decode_len=new)[0])
+
+        def run_prefix():
+            st = llama.prefill_chunked_compressed_init(1, seq, chunk, mcfg,
+                                                       ccfg)
+            for off in range(0, seq, chunk):
+                st = step(params, ids[:, off:off + chunk], st)
+            return fin(params, st)
+
+        row["comp_prefix_ms"] = round(best_of(run_prefix), 1)
+        row["chunk"] = chunk
+        row["prefix_vs_uncomp"] = round(row["comp_prefix_ms"]
+                                        / row["uncomp_ms"], 3)
+        out["lengths"][str(seq)] = row
+        print(f"  S={seq}: uncomp {row['uncomp_ms']} ms, one-shot comp "
+              f"{row['comp_oneshot_ms']} ms, comp-prefix "
+              f"{row['comp_prefix_ms']} ms ({row['prefix_vs_uncomp']}x "
+              f"uncomp)", flush=True)
+        save()
+        del params
+        free()
+    wins = [s for s, r in out["lengths"].items()
+            if int(s) >= 8192 and r["comp_prefix_ms"] < r["uncomp_ms"]]
+    out["ttft_improved_at_8k_plus"] = len(wins) > 0
+    return out
+
+
+# ---------------------------------------------------------------------------
 def main():
     import jax
 

@@ -80,21 +80,24 @@ def quantize_tensor(w: Array, axis: int = 1,
 class Int4Tensor:
     """Group-wise symmetric int4 weight: w[i, o] ≈ q[i, o] · scale[i//G, o].
 
-    Codes live in [-7, 7] and are nibble-packed along the IN (reduction)
-    axis in a HALF-SPLIT layout: `q_packed[p, o]` holds row p in its low
-    nibble and row p + in_dim/2 in its high nibble. Unpacking is then two
-    shifts + a sublane CONCATENATION — no interleave — so both the XLA
-    fallback and the fused Pallas kernel (ops/pallas/int4_matmul.py) unpack
-    at full VPU rate, and the kernel can treat x @ W as
-    x_lo @ W_lo + x_hi @ W_hi over ONE packed block read (0.5
-    bytes/element HBM). Scales are per (group, out-channel), group size G
-    along the reduction axis (in_dim % G == 0; callers fall back to one
-    group otherwise). Round 3 used interleaved row pairs; the half-split
-    relayout is the round-4 fix for the measured 16x int4 decode regression
-    (XLA materialized the interleaved unpack — benchmarks/RESULTS.md).
+    Codes are stored OFFSET-BINARY: u = q + 8 in [1, 15] (q in [-7, 7]),
+    nibble-packed along the IN (reduction) axis in a HALF-SPLIT layout:
+    uint8 `q_packed[p, o]` holds row p in its low nibble and row
+    p + in_dim/2 in its high nibble. Unpacking is zero-extend + mask/shift
+    (no sign-extension double-shift — the r5 probe measured the offset-
+    binary unpack 20% faster than sign-extended nibbles at the decode
+    matvec shape, probe_matvec_r5.json i4_v2 vs i4_cur), and the -8 offset
+    folds into a rank-1 correction around the raw code dot:
+        x @ W_g = (x_g @ u_g - 8·Σx_g) · s_g
+    so the fused kernel (ops/pallas/int4_matmul.py) streams packed bytes at
+    0.5 bytes/element with ~5 VPU ops/byte. Scales are per
+    (group, out-channel), group size G along the reduction axis
+    (in_dim % G == 0; callers fall back to one group otherwise). History:
+    r3 interleaved signed pairs (16x regression — XLA materialized the
+    unpack), r4 half-split signed, r5 offset-binary.
     """
 
-    q_packed: Array  # [in_dim // 2, out] int8 (two nibbles per byte)
+    q_packed: Array  # [in_dim // 2, out] uint8 (two offset-binary nibbles)
     scale: Array     # [in_dim // G, out] float32
     in_dim: int = dataclasses.field(metadata=dict(static=True), default=0)
 
@@ -107,11 +110,11 @@ class Int4Tensor:
         return self.in_dim // self.scale.shape[0]
 
     def unpack_codes(self) -> Array:
-        """[in_dim, out] int8 codes in [-7, 7] (sign-extended nibbles)."""
-        p = self.q_packed
-        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
-        hi = jnp.right_shift(p, 4)
-        return jnp.concatenate([lo, hi], axis=0)
+        """[in_dim, out] int8 codes in [-7, 7] (offset-binary nibbles)."""
+        p = self.q_packed.astype(jnp.int32)  # uint8 -> zero-extends
+        lo = jnp.bitwise_and(p, 0xF) - 8
+        hi = jnp.right_shift(p, 4) - 8
+        return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
     def dequantize(self, dtype=jnp.bfloat16) -> Array:
         n_g = self.scale.shape[0]
@@ -139,12 +142,11 @@ def quantize_tensor_int4(w: Array, group_size: int = 128) -> Int4Tensor:
     absmax = jnp.max(jnp.abs(grouped), axis=1)
     scale = jnp.maximum(absmax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(grouped / scale[:, None, :]), -7, 7)
-    q = q.astype(jnp.int8).reshape(in_dim, out)
+    u = (q + 8).astype(jnp.uint8).reshape(in_dim, out)  # offset-binary
     half = in_dim // 2
-    lo, hi = q[:half], q[half:]  # half-split layout (class docstring)
-    packed = jnp.bitwise_or(jnp.left_shift(hi, 4),
-                            jnp.bitwise_and(lo, jnp.int8(0x0F)))
-    return Int4Tensor(q_packed=packed.astype(jnp.int8), scale=scale,
+    lo, hi = u[:half], u[half:]  # half-split layout (class docstring)
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4), lo)
+    return Int4Tensor(q_packed=packed.astype(jnp.uint8), scale=scale,
                       in_dim=in_dim)
 
 
@@ -194,7 +196,7 @@ class Int4ExpertTensor:
     weight-streaming floor quarters vs bf16.
     """
 
-    q_packed: Array  # [E, in_dim // 2, out] int8 (two nibbles per byte)
+    q_packed: Array  # [E, in_dim // 2, out] uint8 (offset-binary nibbles)
     scale: Array     # [E, in_dim // G, out] float32
     in_dim: int = dataclasses.field(metadata=dict(static=True), default=0)
 
@@ -217,9 +219,9 @@ class Int4ExpertTensor:
             in_dim=self.in_dim)
 
     def dequantize(self, dtype=jnp.bfloat16) -> Array:
-        p = self.q_packed
-        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
-        hi = jnp.right_shift(p, 4)
+        p = self.q_packed.astype(jnp.int32)
+        lo = jnp.bitwise_and(p, 0xF) - 8
+        hi = jnp.right_shift(p, 4) - 8
         codes = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
         e, _, out = p.shape
         n_g = self.scale.shape[1]
@@ -243,12 +245,11 @@ def quantize_expert_tensor_int4(w: Array,
     absmax = jnp.max(jnp.abs(grouped), axis=2)
     scale = jnp.maximum(absmax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(grouped / scale[:, :, None, :]), -7, 7)
-    q = q.astype(jnp.int8).reshape(e, in_dim, out)
+    u = (q + 8).astype(jnp.uint8).reshape(e, in_dim, out)
     half = in_dim // 2
-    lo, hi = q[:, :half], q[:, half:]
-    packed = jnp.bitwise_or(jnp.left_shift(hi, 4),
-                            jnp.bitwise_and(lo, jnp.int8(0x0F)))
-    return Int4ExpertTensor(q_packed=packed.astype(jnp.int8), scale=scale,
+    lo, hi = u[:, :half], u[:, half:]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4), lo)
+    return Int4ExpertTensor(q_packed=packed.astype(jnp.uint8), scale=scale,
                             in_dim=in_dim)
 
 

@@ -148,18 +148,25 @@ def importance_scores(
         normalization — the GLOBAL min/max when scoring a local chunk.
       axis_name: if set (inside shard_map over the sequence), row min/max
         are reduced with pmin/pmax over this axis, making the normalization
-        exactly global. Mutually exclusive with `minmax`/`lengths`.
+        exactly global. Composes with `lengths` (which must then be the
+        GLOBAL per-row true lengths — right-padded ragged layout, so
+        validity of local position i is position_offset + i < length);
+        mutually exclusive with `minmax`.
 
     Returns:
       [B, S] float32 importance scores (S = local length).
     """
     mass = prompt_mass.astype(jnp.float32)
     total = total_len if total_len is not None else seq_len
-    valid = (jnp.arange(seq_len)[None, :] < lengths[:, None]
-             if lengths is not None else None)
+    valid = ((jnp.arange(seq_len)[None, :] + position_offset)
+             < lengths[:, None] if lengths is not None else None)
     if axis_name is not None:
-        row_min = jax.lax.pmin(mass.min(axis=-1, keepdims=True), axis_name)
-        row_max = jax.lax.pmax(mass.max(axis=-1, keepdims=True), axis_name)
+        mass_min = mass if valid is None else jnp.where(valid, mass, jnp.inf)
+        mass_max = mass if valid is None else jnp.where(valid, mass, -jnp.inf)
+        row_min = jax.lax.pmin(mass_min.min(axis=-1, keepdims=True),
+                               axis_name)
+        row_max = jax.lax.pmax(mass_max.max(axis=-1, keepdims=True),
+                               axis_name)
         minmax = (row_min, row_max)
     if minmax is not None:
         row_min, row_max = minmax
@@ -177,8 +184,12 @@ def importance_scores(
             # treatment as the prompt mass above (VERDICT r4 item 3 — the
             # flagship scoring mode must compose with the flagship
             # parallelism mode).
-            q_min = jax.lax.pmin(qm.min(axis=-1, keepdims=True), axis_name)
-            q_max = jax.lax.pmax(qm.max(axis=-1, keepdims=True), axis_name)
+            qm_min = qm if valid is None else jnp.where(valid, qm, jnp.inf)
+            qm_max = qm if valid is None else jnp.where(valid, qm, -jnp.inf)
+            q_min = jax.lax.pmin(qm_min.min(axis=-1, keepdims=True),
+                                 axis_name)
+            q_max = jax.lax.pmax(qm_max.max(axis=-1, keepdims=True),
+                                 axis_name)
             qden = q_max - q_min
             q_safe = qden > 1e-8
             normalized_q = jnp.where(
@@ -213,7 +224,9 @@ def importance_scores(
         term3 = cfg.gamma * context_relevance(total, prompt_len)
     else:
         lens = jnp.maximum(lengths.astype(jnp.float32), 2.0)[:, None]
-        pos = jnp.arange(1, seq_len + 1, dtype=jnp.float32)[None, :]
+        # position_offset: sharded ragged scoring — positions are global.
+        pos = (jnp.arange(1, seq_len + 1, dtype=jnp.float32)[None, :]
+               + position_offset)
         if recency:
             w = (jnp.float32(cfg.recency_window)
                  if cfg.recency_window

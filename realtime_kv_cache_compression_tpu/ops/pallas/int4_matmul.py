@@ -9,16 +9,18 @@ block: HBM traffic stays at the packed 0.5 bytes/element (+ ~0.03 for the
 f32 group scales), which is the whole point of int4 weights on a
 weight-streaming-bound decode.
 
-Layout contract (models/quantized_params.Int4Tensor, half-split packing):
-`q_packed[p, o]` holds code row p in its low nibble and row p + K/2 in its
-high nibble. The kernel therefore computes
+Layout contract (models/quantized_params.Int4Tensor, r5 offset-binary
+half-split packing): uint8 `q_packed[p, o]` holds offset-binary code row p
+(u = q + 8) in its low nibble and row p + K/2 in its high nibble. The
+kernel computes
 
     y = x[:, :K/2] @ W_lo + x[:, K/2:] @ W_hi
 
-with W_lo/W_hi unpacked from the SAME packed block — two shifts each, no
-sublane interleave — dequantized to bf16 against their per-(group, out)
-scales, and fed to the MXU. The K grid dimension walks packed rows; both x
-halves arrive as separate blocks of the same input array.
+with W_lo/W_hi unpacked from the SAME packed block — zero-extend + one
+mask / one logical shift, no sign-extension — the raw u4 codes fed to the
+MXU as bf16, group scales applied to the dot partials, and the -8 offset
+folded into a rank-1 8·Σx_g correction. The K grid dimension walks packed
+rows; both x halves arrive as separate blocks of the same input array.
 
 The reference has no counterpart (its quantization is fake-quant,
 dynamic_quantization.py:120-126, and never touches weights).
@@ -49,15 +51,15 @@ def _kernel(x_lo_ref, x_hi_ref, w_ref, sl_ref, sh_ref, o_ref, acc_ref, *,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Nibble unpack: shifts must run at i32 (Mosaic cannot legalize
-    # arith.shli on i8 vectors — measured on HW, r4 sitting); the real
-    # dequant saving is below — scales apply to the dot PARTIALS, so the
-    # unpack is shift+astype only, with no f32 scale pass over the weight
-    # block (the r4-measured VPU bottleneck: 14 ms/step vs the ~4.2 ms
-    # packed-byte streaming floor).
-    p = w_ref[...].astype(jnp.int32)              # [bk2, bn]
-    lo = jnp.left_shift(p, 28) >> 28              # sign-extended low nibble
-    hi = jnp.left_shift(p, 24) >> 28              # sign-extended high nibble
+    # Offset-binary nibble unpack (Int4Tensor r5 layout): uint8 zero-
+    # extends to i32 (1 op), then mask / logical shift (1 op each) — no
+    # sign-extension double-shift (r4's 7 ops/byte -> 5; probe_matvec_r5
+    # measured -20% at the decode matvec shape). Scales still apply to the
+    # dot PARTIALS; the -8 code offset folds into a rank-1 correction
+    # 8·Σx_g per group, never touching the [bk2, bn] block.
+    p = w_ref[...].astype(jnp.int32)              # [bk2, bn] in [0, 255]
+    lo = jnp.bitwise_and(p, 0xF)                  # u4 low nibble [0, 15]
+    hi = jnp.right_shift(p, 4)                    # u4 high nibble
 
     def half(x_ref, codes, s_ref):
         # Scale the per-group PARTIAL [bm, bn] instead of the [bk2, bn]
@@ -68,13 +70,15 @@ def _kernel(x_lo_ref, x_hi_ref, w_ref, sl_ref, sh_ref, o_ref, acc_ref, *,
         r = s.shape[0]
         bk2 = codes.shape[0]
         gsz = bk2 // r
-        w = codes.astype(compute_dtype)           # [bk2, bn] unscaled
+        w = codes.astype(compute_dtype)           # [bk2, bn] unscaled u4
         x = x_ref[...]                            # [bm, bk2]
         for g in range(r):
-            part = jnp.dot(x[:, g * gsz:(g + 1) * gsz],
-                           w[g * gsz:(g + 1) * gsz],
+            xg = x[:, g * gsz:(g + 1) * gsz]
+            part = jnp.dot(xg, w[g * gsz:(g + 1) * gsz],
                            preferred_element_type=jnp.float32)
-            acc_ref[...] += part * s[g][None, :]
+            # offset correction: x @ (u - 8) = x @ u - 8·Σx_g
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            acc_ref[...] += (part - 8.0 * xs) * s[g][None, :]
 
     half(x_lo_ref, lo, sl_ref)
     half(x_hi_ref, hi, sh_ref)
@@ -99,8 +103,9 @@ def int4_matmul(
 
     block_k2 counts PACKED rows (each carries one lo and one hi code row, so
     a grid step consumes 2*block_k2 reduction elements). All dims pad to
-    their block internally: zero-padded packed rows contribute zero products
-    (code 0), padded scale rows are zeros, padded x columns are zeros.
+    their block internally: padded packed rows pair with zero x columns and
+    zero scale rows, so they contribute nothing (offset-binary code 0 means
+    -8, but 0·(-8)·0 = 0).
 
     Matches `Int4Tensor.dequantize` math exactly per group; the MXU runs
     bf16 (x's dtype), accumulation is f32.

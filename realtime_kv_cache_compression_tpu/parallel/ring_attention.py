@@ -54,6 +54,7 @@ def ring_prefill_attention(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
+    prompt_lens: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Causal flash attention + prompt mass with the sequence axis sharded.
 
@@ -66,6 +67,11 @@ def ring_prefill_attention(
       prompt_len: static global prompt prefix length P.
       axis_name: mesh axis carrying the sequence.
       n_shards: static size of that axis.
+      prompt_lens: optional [B] dynamic per-row prompt lengths (ragged
+        batches) — the mass side-channel then follows each row's true
+        prompt region. Padding keys sit at the global END, so causality
+        already hides them from real queries; padding query rows emit
+        garbage the caller masks.
 
     Returns:
       (out [B, S_loc, H_q, D], prompt_mass [B, S_loc] head-averaged) — the
@@ -83,7 +89,8 @@ def ring_prefill_attention(
     for t in range(n_shards):
         src = jax.lax.rem(my - t + n_shards, n_shards)
         k_off = src * s_loc
-        plen_loc = jnp.clip(prompt_len - k_off, 0, s_loc)
+        plen_g = prompt_len if prompt_lens is None else prompt_lens
+        plen_loc = jnp.clip(plen_g - k_off, 0, s_loc)
         plen_b = jnp.broadcast_to(plen_loc, (b,))
         if t == 0:
             o, lse, pm = pair(q, kk, vv, plen_b, causal=True)

@@ -21,12 +21,13 @@ from realtime_kv_cache_compression_tpu.models.quantized_params import (
 
 
 def test_pack_unpack_roundtrip_exact():
-    # Half-split layout (round 4): packed[p] = (codes[p+K/2] << 4) | lo(codes[p]).
+    # Offset-binary half-split layout (round 5):
+    # packed[p] = ((codes[p+K/2]+8) << 4) | (codes[p]+8), uint8.
     rng = np.random.default_rng(0)
     codes = rng.integers(-7, 8, size=(64, 16)).astype(np.int8)
-    lo, hi = codes[:32], codes[32:]
-    packed = ((hi.astype(np.int8) << 4)
-              | (lo & np.int8(0x0F))).astype(np.int8)
+    u = (codes.astype(np.int16) + 8).astype(np.uint8)
+    lo, hi = u[:32], u[32:]
+    packed = ((hi << 4) | lo).astype(np.uint8)
     t = Int4Tensor(q_packed=jnp.asarray(packed),
                    scale=jnp.ones((1, 16), jnp.float32), in_dim=64)
     np.testing.assert_array_equal(np.asarray(t.unpack_codes()), codes)

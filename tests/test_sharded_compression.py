@@ -159,3 +159,101 @@ def test_decode_from_sharded_state(setup):
         toks_sh.append(np.asarray(t_sh))
         toks_g.append(np.asarray(t_g))
     np.testing.assert_array_equal(np.stack(toks_sh), np.stack(toks_g))
+
+
+# ---------------------------------------------------------------------------
+# Ragged sharded compression (VERDICT r4 weak #8)
+# ---------------------------------------------------------------------------
+
+def _cache_sets(cache):
+    out = []
+    for t in cache.tiers:
+        pos = np.asarray(t.positions)
+        val = np.asarray(t.valid)
+        out.append([np.sort(pos[b][val[b]]) for b in range(pos.shape[0])])
+    return out
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_ragged_sharded_equals_ragged_chunked(setup, n):
+    """compress_layer_kv under shard_map with a ragged token_valid slice
+    equals the single-device chunked ragged reference: same kept position
+    sets per row per tier, padding never stored."""
+    from jax.sharding import PartitionSpec as P
+
+    mcfg, ccfg, params, _ = setup
+    rng = np.random.RandomState(0)
+    b, s, hkv, d = 2, 128, mcfg.num_kv_heads, mcfg.head_dim
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+    mass = jnp.asarray(rng.rand(b, s).astype(np.float32))
+    lengths = jnp.asarray([77, 128], jnp.int32)
+    tv = jnp.arange(s)[None] < lengths[:, None]
+    plens = jnp.clip((lengths * ccfg.prompt_frac).astype(jnp.int32), 1,
+                     ccfg.prompt_length(s))
+
+    ref_cache, ref_stats = compress_layer_kv_chunked(
+        k, v, mass, 0, ccfg, mcfg, n_chunks=n, token_valid=tv,
+        prompt_lens=plens)
+
+    mesh = create_seq_mesh(n)
+    s_loc = s // n
+
+    def local(k_l, v_l, m_l, tv_l, plens):
+        my = jax.lax.axis_index("seq")
+        return compress_layer_kv(k_l, v_l, m_l, 0, ccfg, mcfg,
+                                 token_valid=tv_l, prompt_lens=plens,
+                                 axis_name="seq", shard_offset=my * s_loc,
+                                 total_len=s)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq"),
+                  P(None, "seq"), P()),
+        out_specs=(P(None, "seq"), P()), check_vma=False)
+    sh_cache, sh_stats = jax.jit(fn)(k, v, mass, tv, plens)
+
+    ref_sets = _cache_sets(ref_cache)
+    sh_sets = _cache_sets(sh_cache)
+    for tier_ref, tier_sh in zip(ref_sets, sh_sets):
+        for row_ref, row_sh in zip(tier_ref, tier_sh):
+            np.testing.assert_array_equal(row_sh, row_ref)
+    # Padding never stored.
+    for t in sh_cache.tiers:
+        pos = np.asarray(t.positions)
+        val = np.asarray(t.valid)
+        for b_ in range(2):
+            assert (pos[b_][val[b_]] < int(lengths[b_])).all()
+    # Global stats match the chunked reference.
+    np.testing.assert_allclose(
+        np.asarray(sh_stats["kept_tokens"]),
+        np.asarray(ref_stats["kept_tokens"]))
+    np.testing.assert_allclose(
+        np.asarray(sh_stats["compression_ratio"]),
+        np.asarray(ref_stats["compression_ratio"]), rtol=1e-5)
+
+
+def test_ragged_seq_parallel_prefill_matches_single_device(setup):
+    """Replicated-compression seq-parallel prefill with ragged lengths ==
+    single-device ragged prefill_compressed (same global selection policy):
+    logits at true last positions and per-tier kept sets match."""
+    mcfg, ccfg, params, ids = setup
+    lengths = jnp.asarray([100, 128], jnp.int32)
+
+    lg1, st1, _ = llama.prefill_compressed(params, ids, mcfg, ccfg,
+                                           max_decode_len=8,
+                                           lengths=lengths)
+    mesh = create_seq_mesh(4)
+    lgn, stn, _ = seq_parallel_prefill(params, ids, mcfg, ccfg, mesh,
+                                       max_decode_len=8, interpret=True,
+                                       lengths=lengths)
+    np.testing.assert_allclose(np.asarray(lgn, np.float32),
+                               np.asarray(lg1, np.float32),
+                               rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.asarray(stn.position), np.asarray(lengths))
+    for l in range(mcfg.num_layers):
+        for t1, tn in zip(st1.caches[l].tiers, stn.caches[l].tiers):
+            for b_ in range(2):
+                np.testing.assert_array_equal(
+                    np.sort(np.asarray(tn.positions[b_])[np.asarray(tn.valid[b_])]),
+                    np.sort(np.asarray(t1.positions[b_])[np.asarray(t1.valid[b_])]))
