@@ -416,6 +416,7 @@ def main():
         path = os.path.join(args.output_dir, "quality_demo.json")
         with open(path + ".tmp", "w") as f:
             json.dump(results, f, indent=2)
+            f.write("\n")
         os.replace(path + ".tmp", path)
 
     for task in tasks:
