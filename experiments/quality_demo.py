@@ -278,10 +278,15 @@ def main():
     max_pos = args.max_positions or (
         max(fillers + eval_fillers)
         + (args.payload + 1) * (N_DOCS + 2) + 16)
-    mcfg = rtc.tiny_test_model(vocab_size=64, hidden_size=128,
-                               intermediate_size=256,
+    # Width scales in whole 32-wide heads (flash kernels tile d=32
+    # cleanly); --model-width 128 reproduces the r3/r4 instances.
+    n_heads = max(2, args.model_width // 32)
+    mcfg = rtc.tiny_test_model(vocab_size=64, hidden_size=args.model_width,
+                               intermediate_size=2 * args.model_width,
                                num_layers=args.model_layers,
-                               num_heads=4, num_kv_heads=2, head_dim=32,
+                               num_heads=n_heads,
+                               num_kv_heads=max(1, n_heads // 2),
+                               head_dim=32,
                                max_position_embeddings=max_pos)
 
     def cc(**kw):
