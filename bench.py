@@ -57,7 +57,8 @@ def measure_rtt() -> float:
 
 def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
                 use_flash: bool, compare_uncompressed: bool, reps: int = 3,
-                use_fused_decode=None, weight_bits: int = 16):
+                use_fused_decode=None, weight_bits: int = 16,
+                fuse_weights: bool = True):
     from realtime_kv_cache_compression_tpu.compression import (
         summarize_layer_stats)
     from realtime_kv_cache_compression_tpu.models import llama
@@ -75,6 +76,11 @@ def bench_model(mcfg, ccfg, seq_len: int, new_tokens: int, batch: int,
         # Streaming: frees each fp weight as its quantized replacement
         # exists (the jit/donate variant still peaked over HBM at 7B).
         params = quantize_params_streaming(params, bits=weight_bits)
+    if fuse_weights:
+        # QKV 3->1 and gate/up 2->1 dots (llama.fuse_params): removes
+        # per-dot dispatch overhead on the weight-streaming-bound decode
+        # (r5: 12.0 -> 11.3 ms/step at 7B int8; benchmarks/RESULTS.md).
+        params = llama.fuse_params(params)
     if use_fused_decode is None:
         # Regime-aware auto: fused kernel everywhere on TPU except the one
         # measured losing regime (int8 weights + few kv heads + batch 1 —
@@ -213,6 +219,8 @@ def main():
                     action="store_false",
                     help="force the XLA dequant decode path")
     ap.add_argument("--no-baseline-arm", action="store_true")
+    ap.add_argument("--no-fuse-weights", action="store_true",
+                    help="skip llama.fuse_params (fused QKV/gate-up dots)")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
 
@@ -250,7 +258,8 @@ def main():
                           use_flash,
                           compare_uncompressed=not args.no_baseline_arm,
                           use_fused_decode=args.fused_decode,
-                          weight_bits=args.weight_bits)
+                          weight_bits=args.weight_bits,
+                          fuse_weights=not args.no_fuse_weights)
     except Exception as e:  # pallas path may not be available everywhere
         if not use_flash and args.fused_decode is False:
             raise
@@ -260,7 +269,8 @@ def main():
                           False,
                           compare_uncompressed=not args.no_baseline_arm,
                           use_fused_decode=False,
-                          weight_bits=args.weight_bits)
+                          weight_bits=args.weight_bits,
+                          fuse_weights=not args.no_fuse_weights)
 
     reference_compressed_tok_s = 3.6  # BASELINE.md, same 4096-token context
     summary = res.get("summary", {})

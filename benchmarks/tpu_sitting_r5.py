@@ -474,15 +474,17 @@ def ttft_compressed_prefix():
         free()
 
         # Compressed-prefix chunked: time init + all chunk steps + finish
-        # (one jitted step program; chunks run sequentially like serving).
+        # (jitted init — eager it issues ~530 small zeros ops, 20x TTFT
+        # through the relay; one jitted step program serves every chunk).
+        init = jax.jit(lambda: llama.prefill_chunked_compressed_init(
+            1, seq, chunk, mcfg, ccfg))
         step = jax.jit(lambda p, i, t: llama.prefill_chunked_compressed_step(
             p, i, t, mcfg, ccfg, total_len=seq, use_flash=True))
         fin = jax.jit(lambda p, t: llama.prefill_chunked_compressed_finish(
             p, t, mcfg, ccfg, max_decode_len=new)[0])
 
         def run_prefix():
-            st = llama.prefill_chunked_compressed_init(1, seq, chunk, mcfg,
-                                                       ccfg)
+            st = init()
             for off in range(0, seq, chunk):
                 st = step(params, ids[:, off:off + chunk], st)
             return fin(params, st)

@@ -541,8 +541,8 @@ def flash_positioned_attention(
     k_pos: Array,
     q_offset: Array,
     prompt_len: int,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: int = 256,
+    block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """Flash attention of chunk queries over POSITIONED key slots.
@@ -561,6 +561,11 @@ def flash_positioned_attention(
 
     Returns (o [B, c, Hq, D] normalized partial, lse [B, Hq, c],
     pm [B, Hq, c]) for `merge_attention_partials`.
+
+    Default blocks are half the square kernel's (256x512): positioned mode
+    carries an extra live [bq, bk] masked-p temp per rep, which at
+    512x1024 rep=8 overflowed the 16 MB scoped-vmem budget (measured on
+    HW, r5 sitting: 23.89M scoped).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -602,6 +607,8 @@ def flash_compressed_prefix_attention(
     prompt_len: int,
     block_q: int = 512,
     block_k: int = 1024,
+    pool_block_q: int = 256,
+    pool_block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """Chunk attention over {compressed pools} ++ {own chunk}, flash form.
@@ -618,7 +625,7 @@ def flash_compressed_prefix_attention(
     kpos = jnp.where(valid_pool, pos_pool, POS_SENTINEL)
     part_pool = flash_positioned_attention(
         q, k_pool, v_pool, kpos, q_offset, prompt_len,
-        block_q=block_q, block_k=block_k, interpret=interpret)
+        block_q=pool_block_q, block_k=pool_block_k, interpret=interpret)
     plen_local = jnp.clip(prompt_len - q_offset, 0, c)
     part_self = flash_pair_attention(
         q, k_chunk, v_chunk, jnp.broadcast_to(plen_local, (b,)),

@@ -188,13 +188,21 @@ class TestModelIntegration:
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 atol=2e-3)
 
-    def test_seq_parallel_guard(self, parts):
+    def test_seq_parallel_query_guided_runs(self, parts):
+        """Round 5 removed the r4 NotImplementedError guard: query-guided
+        importance now composes with sequence-parallel prefill (full
+        equivalence pinned in tests/test_seq_parallel.py) — the call must
+        run and produce a usable state."""
         params, mcfg, ccfg = parts
         from jax.sharding import Mesh
 
         from realtime_kv_cache_compression_tpu.parallel import seq_parallel
         devs = np.array(jax.devices()[:2]).reshape(2)
         mesh = Mesh(devs, ("seq",))
-        ids = jnp.zeros((1, 64), jnp.int32)
-        with pytest.raises(NotImplementedError):
-            seq_parallel.seq_parallel_prefill(params, ids, mcfg, ccfg, mesh)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (1, 64), 0,
+                                 mcfg.vocab_size)
+        logits, state, stats = seq_parallel.seq_parallel_prefill(
+            params, ids, mcfg, ccfg, mesh, max_decode_len=4, interpret=True)
+        assert logits.shape == (1, mcfg.vocab_size)
+        assert bool(jnp.isfinite(logits).all())
+        assert len(stats) == mcfg.num_layers
