@@ -242,6 +242,11 @@ def main():
     ap.add_argument("--model-layers", type=int, default=4,
                     help="depth of the trained mini-Llama (multidoc's 2-hop"
                          " retrieval needs >= 6)")
+    ap.add_argument("--model-width", type=int, default=128,
+                    help="hidden size in whole 32-wide heads (multidoc at "
+                         ">= 1K filler needs >= 256: the r4 6-layer/128-wide"
+                         " instance's baseline decayed to 0.895 at 1K —"
+                         " VERDICT r4 item 4)")
     ap.add_argument("--eval-batch", type=int, default=None,
                     help="chunk eval samples (long contexts: baseline dense"
                          " scores scale with batch x S^2)")
