@@ -257,3 +257,34 @@ def test_ragged_seq_parallel_prefill_matches_single_device(setup):
                 np.testing.assert_array_equal(
                     np.sort(np.asarray(tn.positions[b_])[np.asarray(tn.valid[b_])]),
                     np.sort(np.asarray(t1.positions[b_])[np.asarray(t1.valid[b_])]))
+
+
+def test_ragged_query_guided_seq_parallel(setup):
+    """Ragged lengths x query-guided importance x sequence sharding (the
+    full composition): per-row observation windows end at each row's true
+    length; logits match the single-device ragged reference and padding
+    is never stored."""
+    import dataclasses
+
+    mcfg, ccfg, params, ids = setup
+    ccfg_q = dataclasses.replace(ccfg, importance_source="query")
+    lengths = jnp.asarray([100, 128], jnp.int32)
+
+    lg1, st1, _ = llama.prefill_compressed(params, ids, mcfg, ccfg_q,
+                                           max_decode_len=8,
+                                           lengths=lengths)
+    mesh = create_seq_mesh(4)
+    lgn, stn, _ = seq_parallel_prefill(params, ids, mcfg, ccfg_q, mesh,
+                                       max_decode_len=8, interpret=True,
+                                       lengths=lengths)
+    np.testing.assert_allclose(np.asarray(lgn, np.float32),
+                               np.asarray(lg1, np.float32),
+                               rtol=2e-4, atol=2e-4)
+    for l in range(mcfg.num_layers):
+        for t1, tn in zip(st1.caches[l].tiers, stn.caches[l].tiers):
+            for b_ in range(2):
+                pos_n = np.asarray(tn.positions[b_])[np.asarray(tn.valid[b_])]
+                assert (pos_n < int(lengths[b_])).all()
+                np.testing.assert_array_equal(
+                    np.sort(pos_n),
+                    np.sort(np.asarray(t1.positions[b_])[np.asarray(t1.valid[b_])]))
