@@ -9,8 +9,15 @@ i8->bf16 convert is NOT the bottleneck at the matmul level. The 13.4 vs
 sitting localizes it by ablation, then fixes what it finds.
 
 Phases (each guarded; JSON rewritten after every phase):
-  decode_ablation_7b  full decode vs {fused-off, uncompressed-cache,
-                      matmul-only} arms, all 7B int8 batch 1 @ 4K.
+  decode_ablation_7b    full decode vs {fused-off, uncompressed-cache,
+                        matmul-only} arms, 7B int8 batch 1 @ 4K.
+  decode_opt_7b         cumulative r5 levers: head-batched kernel stats,
+                        fused QKV/gate-up weights, segment sweep, int4.
+  int4_offsetbinary_7b  int4 re-measure after the offset-binary repack.
+  decode_blockbytes_7b  decode-kernel VMEM block cap sweep (960 KB stands;
+                        bigger caps fail scoped-vmem compilation).
+  ttft_compressed_prefix  TTFT table at 4K/8K/32K: uncompressed vs
+                        one-shot compressed vs compressed-prefix chunked.
 Usage: python benchmarks/tpu_sitting_r5.py [phase ...]
 """
 
@@ -501,9 +508,12 @@ def ttft_compressed_prefix():
         save()
         del params
         free()
-    wins = [s for s, r in out["lengths"].items()
-            if int(s) >= 8192 and r["comp_prefix_ms"] < r["uncomp_ms"]]
-    out["ttft_improved_at_8k_plus"] = len(wins) > 0
+    out["oneshot_improved_at_8k_plus"] = any(
+        int(s) >= 8192 and r["comp_oneshot_ms"] < r["uncomp_ms"]
+        for s, r in out["lengths"].items())
+    out["prefix_improved_at_8k_plus"] = any(
+        int(s) >= 8192 and r["comp_prefix_ms"] < r["uncomp_ms"]
+        for s, r in out["lengths"].items())
     return out
 
 
