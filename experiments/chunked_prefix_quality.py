@@ -59,6 +59,9 @@ def main():
     import realtime_kv_cache_compression_tpu as rtc
     from realtime_kv_cache_compression_tpu.models import llama
 
+    def llama_init_template(mcfg):
+        return llama.init_params(jax.random.PRNGKey(0), mcfg)
+
     contexts = [int(c) for c in args.contexts.split(",")]
     for t in contexts:
         if t % 16:
@@ -80,18 +83,20 @@ def main():
             if args.params_dir else None)
     params = None
     if ckpt and os.path.exists(ckpt):
-        from realtime_kv_cache_compression_tpu.models.checkpoint import (
-            load_params)
-        params = load_params(ckpt)
+        from realtime_kv_cache_compression_tpu.models import checkpoint
+
+        template = jax.eval_shape(
+            lambda: llama_init_template(mcfg))
+        params = checkpoint.load_checkpoint(ckpt, template)
         print(f"loaded params from {ckpt}", flush=True)
     if params is None:
         params = train_recall_model(mcfg, "recall", args.steps, args.batch,
                                     args.payload, fillers, lr=args.lr,
                                     use_flash=args.flash)
         if ckpt:
-            from realtime_kv_cache_compression_tpu.models.checkpoint import (
-                save_params)
-            save_params(ckpt, params)
+            from realtime_kv_cache_compression_tpu.models import checkpoint
+            checkpoint.save_checkpoint(ckpt, params)
+            print(f"saved params to {ckpt}", flush=True)
 
     results = {"meta": {"argv": sys.argv[1:], "contexts": contexts,
                         "model_layers": args.model_layers,
