@@ -93,7 +93,7 @@ def _flash_kernel(plen_ref, qoff_ref, q_ref, k_ref, v_ref, *rest,
     # carry contract). Square mode keeps the offset at literal 0.
     q_off = qoff_ref[0, 0] if rect else 0
     if positioned:
-        col_ids = kpos_ref[...]                       # [1, bk] global pos
+        col_ids = kpos_ref[0]                         # [1, bk] global pos
     else:
         col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
                    + kv_idx * block_k)                # [1, bk]
@@ -284,9 +284,14 @@ def _flash_attention_bhsd(
     ]
     operands = [q, k, v]
     if positioned:
-        in_specs.append(pl.BlockSpec((1, block_k),
-                                     lambda b, g, qi, ki: (b, ki)))
-        operands.append(k_positions)
+        # [B, 1, N] with block (1, 1, block_k): Mosaic constrains only the
+        # LAST TWO block dims — (1, block_k) over [B, N] fails tiling at
+        # B > 1 (measured on HW, r5: "block shape (1, 512), array (8,
+        # 1024)"); the singleton middle dim makes the trailing dims
+        # (1, block_k) == (array dim, divisible) always.
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, g, qi, ki: (b, 0, ki)))
+        operands.append(k_positions[:, None, :])
     o, lse, pm = pl.pallas_call(
         kernel,
         grid=grid,
